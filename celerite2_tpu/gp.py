@@ -1,0 +1,405 @@
+"""The GaussianProcess API.
+
+Functional parity with the reference's GP layer
+(/root/reference/python/celerite2/core.py:182-501 and the per-backend
+subclasses, e.g. jax/celerite2.py), designed JAX-first:
+
+* a **functional core** (:func:`gp_compute`, :func:`gp_log_likelihood`,
+  ...) operating on an immutable :class:`GPState` pytree — this is what
+  jit/grad/vmap/pjit touch, and what the inference engine drives;
+* a thin **object shell** (:class:`GaussianProcess`) with the familiar
+  ``compute / log_likelihood / predict / condition / dot_tril /
+  apply_inverse / sample`` surface for users coming from the reference.
+
+Error semantics: eager calls raise ``ValueError`` / ``LinAlgError`` like
+the reference bindings; traced code uses branchless "quiet" semantics —
+a non-positive-definite system yields ``log_likelihood = -inf``
+(reference jax/celerite2.py:40-49, core.py:276-281).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from celerite2_tpu import ops
+from celerite2_tpu.utils import LinAlgError
+
+__all__ = [
+    "ConstantMean",
+    "GPState",
+    "GaussianProcess",
+    "ConditionalDistribution",
+    "gp_compute",
+    "gp_log_likelihood",
+]
+
+LOG2PI = math.log(2.0 * math.pi)
+
+
+class ConstantMean:
+    def __init__(self, value=0.0):
+        self.value = value
+
+    def __call__(self, x):
+        return jnp.broadcast_to(jnp.asarray(self.value), jnp.shape(x))
+
+
+class GPState(NamedTuple):
+    """Everything the solver needs after ``compute`` (a pytree)."""
+
+    t: jax.Array  # (N,)
+    c: jax.Array  # (J,)
+    a: jax.Array  # (N,) original diagonal (incl. observational diag)
+    U: jax.Array  # (N, J)
+    V: jax.Array  # (N, J)
+    d: jax.Array  # (N,) Cholesky diagonal
+    W: jax.Array  # (N, J) Cholesky low-rank factor
+    diag: jax.Array  # (N,) observational variance
+    mean_value: jax.Array  # (N,)
+    ok: jax.Array  # () bool: positive definite
+    log_det: jax.Array  # ()
+    norm: jax.Array  # () = -(log_det + N log 2pi)/2
+
+
+# ========================================================== functional
+
+
+def gp_compute(kernel, t, *, yerr=None, diag=None, mean=0.0) -> GPState:
+    """Build and factorize the GP system (reference core.py:262-317)."""
+    t = jnp.atleast_1d(jnp.asarray(t))
+    if yerr is not None and diag is not None:
+        raise ValueError("only one of 'diag' and 'yerr' can be provided")
+    if yerr is not None:
+        diag_v = jnp.broadcast_to(jnp.asarray(yerr), t.shape) ** 2
+    elif diag is not None:
+        diag_v = jnp.broadcast_to(jnp.asarray(diag), t.shape)
+    else:
+        diag_v = jnp.zeros_like(t)
+
+    mean_fn = mean if callable(mean) else ConstantMean(mean)
+    mean_value = jnp.broadcast_to(jnp.asarray(mean_fn(t)), t.shape)
+
+    c, a, U, V = kernel.get_celerite_matrices(t, diag_v)
+    d, W = ops.factor(t, c, a, U, V)
+
+    ok = jnp.all(d > 0)
+    safe_d = jnp.where(d > 0, d, jnp.ones_like(d))
+    log_det = jnp.where(ok, jnp.sum(jnp.log(safe_d)), -jnp.inf)
+    norm = jnp.where(
+        ok,
+        -0.5 * (log_det + t.shape[0] * LOG2PI),
+        jnp.inf,
+    )
+    return GPState(
+        t=t,
+        c=c,
+        a=a,
+        U=U,
+        V=V,
+        d=d,
+        W=W,
+        diag=diag_v,
+        mean_value=mean_value,
+        ok=ok,
+        log_det=log_det,
+        norm=norm,
+    )
+
+
+def _as_matrix(y):
+    y = jnp.asarray(y)
+    if y.ndim == 1:
+        return y[:, None], True
+    return y, False
+
+
+def gp_apply_inverse(state: GPState, y):
+    """K^{-1} y = L^{-T} d^{-1} L^{-1} y (reference numpy.py:94-98)."""
+    Y, is_vec = _as_matrix(y)
+    safe_d = jnp.where(state.d > 0, state.d, jnp.ones_like(state.d))
+    z = ops.solve_lower(state.t, state.c, state.U, state.W, Y)
+    z = z / safe_d[:, None]
+    z = ops.solve_upper(state.t, state.c, state.U, state.W, z)
+    return z[:, 0] if is_vec else z
+
+
+def gp_dot_tril(state: GPState, y):
+    """L sqrt(d)-weighted product: x = L diag(sqrt(d)) y, so that
+    x x^T averages to K (reference numpy.py:100-102)."""
+    Y, is_vec = _as_matrix(y)
+    safe_d = jnp.where(state.d > 0, state.d, jnp.zeros_like(state.d))
+    z = jnp.sqrt(safe_d)[:, None] * Y
+    z = z + ops.matmul_lower(state.t, state.c, state.U, state.W, z)
+    return z[:, 0] if is_vec else z
+
+
+def gp_log_likelihood(state: GPState, y):
+    """norm - (log_det + alpha^T d^{-1} alpha)/2 (reference core.py:407-428,
+    numpy.py:104-109), with quiet -inf on non-PD systems."""
+    y = jnp.asarray(y)
+    resid = (y - state.mean_value)[:, None]
+    alpha = ops.solve_lower(state.t, state.c, state.U, state.W, resid)[:, 0]
+    safe_d = jnp.where(state.d > 0, state.d, jnp.ones_like(state.d))
+    quad = jnp.sum(alpha**2 / safe_d)
+    ll = state.norm - 0.5 * quad
+    return jnp.where(state.ok, ll, -jnp.inf)
+
+
+def gp_sample(state: GPState, key, *, shape=(), include_mean=True):
+    """Prior samples via L sqrt(d) z (reference numpy.py:111-121)."""
+    n = state.t.shape[0]
+    z = jax.random.normal(key, shape + (n,), dtype=state.t.dtype)
+    flat = z.reshape(-1, n).T
+    samp = gp_dot_tril(state, flat).T.reshape(shape + (n,))
+    if include_mean:
+        samp = samp + state.mean_value
+    return samp
+
+
+# ======================================================== conditional
+
+
+class ConditionalDistribution:
+    """The conditional (predictive) distribution
+    (reference core.py:20-179).
+
+    The mean uses the O(N + M) semiseparable path; ``variance`` and
+    ``covariance`` build the dense N x M cross-covariance like the
+    reference (core.py:52-66,134-150) — a documented O(N M) cost.
+    """
+
+    def __init__(self, gp, y, t=None, *, include_mean=True, kernel=None):
+        self.gp = gp
+        self.y = jnp.asarray(y)
+        self.t = None if t is None else jnp.atleast_1d(jnp.asarray(t))
+        if self.t is not None and self.t.ndim != 1:
+            raise ValueError("'t' must be one-dimensional")
+        self.include_mean = include_mean
+        self.kernel = kernel
+        self._xs = self.gp._state.t if self.t is None else self.t
+
+    # -------------------------------------------------- dense pieces
+    @property
+    def KxsT(self):
+        kernel = self.kernel or self.gp.kernel
+        tau = self.gp._state.t[:, None] - self._xs[None, :]
+        return kernel.get_value(tau)
+
+    @property
+    def Kinv_KxsT(self):
+        return self.gp.apply_inverse(self.KxsT)
+
+    # ----------------------------------------------------- the mean
+    def _alpha(self):
+        st = self.gp._state
+        resid = (self.y - st.mean_value)[:, None]
+        return self.gp.apply_inverse(resid)[:, 0]
+
+    def _do_dot(self, inp):
+        """General cross-kernel product K*(xs, t) @ inp via the
+        rectangular semiseparable ops (reference core.py:68-113)."""
+        st = self.gp._state
+        kernel = self.kernel or self.gp.kernel
+        zeros_t = jnp.zeros_like(st.t)
+        zeros_s = jnp.zeros_like(self._xs)
+        c, _, U1, V1 = kernel.get_celerite_matrices(st.t, zeros_t)
+        _, _, U2, V2 = kernel.get_celerite_matrices(self._xs, zeros_s)
+
+        inp2, is_vec = _as_matrix(inp)
+        z = ops.general_matmul_lower(
+            self._xs, st.t, c, U2, V1, inp2
+        ) + ops.general_matmul_upper(self._xs, st.t, c, V2, U1, inp2)
+        return z[:, 0] if is_vec else z
+
+    @property
+    def mean(self):
+        st = self.gp._state
+        alpha = self._alpha()
+
+        if self.t is None and self.kernel is None:
+            # fast O(N) path: mu = y - diag * alpha
+            mu = self.y - st.diag * alpha
+            if not self.include_mean:
+                mu = mu - st.mean_value
+            return mu
+
+        mu = self._do_dot(alpha)
+        if self.include_mean:
+            mu = mu + self.gp._mean(self._xs)
+        return mu
+
+    @property
+    def variance(self):
+        kernel = self.kernel or self.gp.kernel
+        var = kernel.get_value(jnp.zeros((1,)))[0] - jnp.sum(
+            self.KxsT * self.Kinv_KxsT, axis=0
+        )
+        return var
+
+    @property
+    def covariance(self):
+        kernel = self.kernel or self.gp.kernel
+        cov = kernel.get_value(self._xs[:, None] - self._xs[None, :])
+        cov = cov - self._do_dot(self.Kinv_KxsT)
+        return cov
+
+    def sample(self, key, *, shape=(), regularize=None):
+        """Sample the conditional; O(M^3) (reference core.py:152-179)."""
+        mu = self.mean
+        cov = self.covariance
+        if regularize is not None:
+            cov = cov + regularize * jnp.eye(
+                cov.shape[0], dtype=cov.dtype
+            )
+        chol = jnp.linalg.cholesky(cov)
+        z = jax.random.normal(
+            key, shape + (cov.shape[0],), dtype=cov.dtype
+        )
+        return mu + jnp.einsum("ij,...j->...i", chol, z)
+
+
+# ============================================================ the shell
+
+
+class GaussianProcess:
+    """User-facing GP object (reference core.py:182-501 surface).
+
+    In addition to the reference API, the functional core is exposed:
+    ``gp.state`` after ``compute``, and the module-level ``gp_*``
+    functions for fully-traced pipelines.
+    """
+
+    conditional_distribution = ConditionalDistribution
+
+    def __init__(self, kernel, t=None, *, mean=0.0, **kwargs):
+        self.kernel = kernel
+        self.mean = mean
+        self._state: Optional[GPState] = None
+        if t is not None:
+            self.compute(t, **kwargs)
+
+    # -------------------------------------------------------- mean
+    @property
+    def mean(self):
+        return self._mean
+
+    @mean.setter
+    def mean(self, mean):
+        self._mean = mean if callable(mean) else ConstantMean(mean)
+
+    @property
+    def mean_value(self):
+        self._require_computed()
+        return self._state.mean_value
+
+    @property
+    def state(self) -> GPState:
+        self._require_computed()
+        return self._state
+
+    # ------------------------------------------------------ compute
+    def compute(
+        self, t, *, yerr=None, diag=None, check_sorted=True, quiet=False
+    ):
+        t = jnp.atleast_1d(jnp.asarray(t))
+        if t.ndim != 1:
+            raise ValueError(
+                "The input coordinates must be one dimensional"
+            )
+        if check_sorted and not isinstance(t, jax.core.Tracer):
+            if bool(jnp.any(t[1:] < t[:-1])):
+                raise ValueError(
+                    "The input coordinates must be sorted"
+                )
+        self._state = gp_compute(
+            self.kernel, t, yerr=yerr, diag=diag, mean=self._mean
+        )
+        if not quiet and not isinstance(
+            self._state.ok, jax.core.Tracer
+        ):
+            if not bool(self._state.ok):
+                raise LinAlgError(
+                    "failed to factorize or solve matrix; the system is "
+                    "not positive definite (use quiet=True for -inf "
+                    "log-likelihood semantics)"
+                )
+        return self
+
+    def recompute(self, *, quiet=False):
+        """Re-factorize with the stored inputs (reference core.py:319-339)."""
+        self._require_computed()
+        st = self._state
+        return self.compute(
+            st.t, diag=st.diag, check_sorted=False, quiet=quiet
+        )
+
+    def _require_computed(self):
+        if self._state is None:
+            raise RuntimeError("you must call 'compute' first")
+
+    def _process_input(self, y, *, require_vector=False):
+        self._require_computed()
+        y = jnp.asarray(y)
+        if require_vector and y.ndim != 1:
+            raise ValueError("'y' must be one dimensional")
+        if y.shape[0] != self._state.t.shape[0]:
+            raise ValueError("dimension mismatch")
+        return y
+
+    # ------------------------------------------------------- solver
+    def apply_inverse(self, y, **_ignored):
+        y = self._process_input(y)
+        return gp_apply_inverse(self._state, y)
+
+    def dot_tril(self, y, **_ignored):
+        y = self._process_input(y)
+        return gp_dot_tril(self._state, y)
+
+    def log_likelihood(self, y, **_ignored):
+        y = self._process_input(y, require_vector=True)
+        return gp_log_likelihood(self._state, y)
+
+    # --------------------------------------------------- prediction
+    def predict(
+        self,
+        y,
+        t=None,
+        *,
+        return_cov=False,
+        return_var=False,
+        include_mean=True,
+        kernel=None,
+    ):
+        cond = self.condition(
+            y, t=t, include_mean=include_mean, kernel=kernel
+        )
+        if return_var:
+            return cond.mean, cond.variance
+        if return_cov:
+            return cond.mean, cond.covariance
+        return cond.mean
+
+    def condition(self, y, t=None, *, include_mean=True, kernel=None):
+        y = self._process_input(y, require_vector=True)
+        return self.conditional_distribution(
+            self, y, t=t, include_mean=include_mean, kernel=kernel
+        )
+
+    # ----------------------------------------------------- sampling
+    def sample(self, key, *, size=None, include_mean=True):
+        self._require_computed()
+        shape = () if size is None else (size,)
+        return gp_sample(
+            self._state, key, shape=shape, include_mean=include_mean
+        )
+
+    def numpyro_dist(self):
+        """A numpyro distribution over the observations (gated import;
+        reference jax/celerite2.py:71-74)."""
+        from celerite2_tpu.distributions import CeleriteNormal
+
+        return CeleriteNormal(self)

@@ -1,0 +1,218 @@
+"""The NUTS chain runner: warmup adaptation + sampling as two lax.scans.
+
+``run_nuts`` drives ``C`` chains as one compiled program: the chain axis
+is a ``vmap`` axis, so sharding it over a device mesh (pjit) is how the
+framework scales to thousands of chains (SURVEY.md section 2.4 item 1).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from celerite2_tpu.inference import adapt as _adapt
+from celerite2_tpu.inference.nuts import NUTSInfo, nuts_kernel
+
+__all__ = ["NUTSResult", "run_nuts", "warmup_and_sample"]
+
+
+class NUTSResult(NamedTuple):
+    samples: jax.Array  # (C, num_samples, dim)
+    log_prob: jax.Array  # (C, num_samples)
+    accept_prob: jax.Array  # (C, num_samples)
+    num_steps: jax.Array  # (C, num_samples)
+    diverging: jax.Array  # (C, num_samples) bool
+    step_size: jax.Array  # (C,)
+    inv_mass: jax.Array  # (C, dim)
+
+
+def _find_reasonable_step_size(logdensity_fn, q, key, inv_mass):
+    """Double/halve eps until the one-step acceptance crosses 0.5
+    (standard NUTS initialization heuristic)."""
+
+    def potential(x):
+        return -logdensity_fn(x)
+
+    grad_fn = jax.grad(potential)
+    dim = q.shape[0]
+    p = jax.random.normal(key, (dim,), q.dtype) / jnp.sqrt(inv_mass)
+    h0 = potential(q) + 0.5 * jnp.sum(inv_mass * p**2)
+
+    def accept_at(eps):
+        g = grad_fn(q)
+        p1 = p - 0.5 * eps * g
+        q1 = q + eps * inv_mass * p1
+        p1 = p1 - 0.5 * eps * grad_fn(q1)
+        h1 = potential(q1) + 0.5 * jnp.sum(inv_mass * p1**2)
+        return jnp.where(jnp.isfinite(h1), jnp.exp(h0 - h1), 0.0)
+
+    a0 = accept_at(jnp.asarray(1.0, q.dtype))
+    direction = jnp.where(a0 > 0.5, 1.0, -1.0)
+
+    def cond(state):
+        eps, i = state
+        a = accept_at(eps)
+        keep = jnp.where(direction > 0, a > 0.5, a < 0.5)
+        return jnp.logical_and(keep, i < 60)
+
+    def body(state):
+        eps, i = state
+        return eps * jnp.where(direction > 0, 2.0, 0.5), i + 1
+
+    eps, _ = lax.while_loop(
+        cond, body, (jnp.asarray(1.0, q.dtype), jnp.zeros((), jnp.int32))
+    )
+    return eps
+
+
+def warmup_and_sample(
+    logdensity_fn: Callable,
+    q0: jax.Array,
+    key: jax.Array,
+    *,
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    thin: int = 1,
+):
+    """Single-chain warmup + sampling (vmap for multiple chains)."""
+    dim = q0.shape[0]
+    dtype = q0.dtype
+
+    in_slow, win_end = _adapt.build_schedule(num_warmup)
+    in_slow = jnp.asarray(np.asarray(in_slow))
+    win_end = jnp.asarray(np.asarray(win_end))
+
+    key, k_eps = jax.random.split(key)
+    inv_mass0 = jnp.ones((dim,), dtype)
+    eps0 = _find_reasonable_step_size(logdensity_fn, q0, k_eps, inv_mass0)
+    da0 = _adapt.da_init(eps0)
+
+    def warm_step(carry, inp):
+        q, da, wf, inv_mass, key = carry
+        slow, at_end = inp
+        key, k = jax.random.split(key)
+        eps = jnp.exp(da.log_eps)
+        q, logp, info = nuts_kernel(
+            logdensity_fn, q, k, eps, inv_mass, max_depth=max_depth
+        )
+        da = _adapt.da_update(da, info.accept_prob, target=target_accept)
+        wf_upd = _adapt.welford_update(wf, q)
+        wf = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(slow, new, old), wf_upd, wf
+        )
+
+        # at the end of a slow window: set mass, reset welford, re-init
+        # dual averaging around the current step size
+        new_inv_mass = _adapt.welford_variance(wf)
+        inv_mass = jnp.where(at_end, new_inv_mass, inv_mass)
+        wf_reset = _adapt.welford_init(dim, dtype)
+        wf = jax.tree_util.tree_map(
+            lambda r, old: jnp.where(at_end, r, old), wf_reset, wf
+        )
+        da_reset = _adapt.da_init(jnp.exp(da.log_eps))
+        da = jax.tree_util.tree_map(
+            lambda r, old: jnp.where(at_end, r, old), da_reset, da
+        )
+        return (q, da, wf, inv_mass, key), None
+
+    carry = (q0, da0, _adapt.welford_init(dim, dtype), inv_mass0, key)
+    if num_warmup > 0:
+        carry, _ = lax.scan(warm_step, carry, (in_slow, win_end))
+    q, da, _, inv_mass, key = carry
+    eps_final = jnp.exp(
+        jnp.where(da.count > 0, da.log_eps_avg, da.log_eps)
+    )
+
+    def sample_step(carry, _):
+        q, key = carry
+        key, k = jax.random.split(key)
+        q, logp, info = nuts_kernel(
+            logdensity_fn, q, k, eps_final, inv_mass, max_depth=max_depth
+        )
+        out = (q, logp, info.accept_prob, info.num_steps, info.diverging)
+        return (q, key), out
+
+    def thinned_step(carry, _):
+        for _i in range(thin):
+            carry, out = sample_step(carry, None)
+        return carry, out
+
+    (q, key), outs = lax.scan(
+        thinned_step, (q, key), None, length=num_samples
+    )
+    samples, logps, accs, steps, divs = outs
+    return (
+        samples,
+        logps,
+        accs,
+        steps,
+        divs,
+        eps_final,
+        inv_mass,
+    )
+
+
+def run_nuts(
+    logdensity_fn: Callable,
+    init_params: jax.Array,
+    key: jax.Array,
+    *,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    num_chains: Optional[int] = None,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    thin: int = 1,
+    chain_axis: Optional[jax.sharding.Sharding] = None,
+) -> NUTSResult:
+    """Run NUTS over one or many chains.
+
+    ``init_params``: (dim,) or (C, dim).  If (dim,) and ``num_chains``
+    is given, chains start from jittered copies.  Pass ``chain_axis``
+    (a Sharding) to lay chains out across a device mesh.
+    """
+    init_params = jnp.asarray(init_params)
+    if init_params.ndim == 1:
+        C = num_chains or 1
+        key, kj = jax.random.split(key)
+        jitter = 0.1 * jax.random.normal(
+            kj, (C, init_params.shape[0]), init_params.dtype
+        )
+        q0 = init_params[None, :] + jitter
+    else:
+        q0 = init_params
+        C = q0.shape[0]
+
+    keys = jax.random.split(key, C)
+    if chain_axis is not None:
+        q0 = jax.device_put(q0, chain_axis)
+        keys = jax.device_put(keys, chain_axis)
+
+    runner = jax.vmap(
+        lambda q, k: warmup_and_sample(
+            logdensity_fn,
+            q,
+            k,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            max_depth=max_depth,
+            target_accept=target_accept,
+            thin=thin,
+        )
+    )
+    samples, logps, accs, steps, divs, eps, inv_mass = runner(q0, keys)
+    return NUTSResult(
+        samples=samples,
+        log_prob=logps,
+        accept_prob=accs,
+        num_steps=steps,
+        diverging=divs,
+        step_size=eps,
+        inv_mass=inv_mass,
+    )

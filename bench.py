@@ -1,0 +1,90 @@
+"""Benchmark: GP log-likelihood + gradient throughput (the NUTS inner
+loop) at N = 1e5 on a SHOTerm kernel.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s", "vs_baseline": R}
+
+``value``       — evals/s of the best backend (parallel associative scan
+                  unless the sequential scan wins).
+``vs_baseline`` — speedup over the tier-1 sequential ``lax.scan``
+                  recursion, i.e. over a faithful port of the
+                  reference's single-thread algorithm
+                  (forward.hpp:111-132) running on the same chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_fn(backend, t, yerr, y):
+    from celerite2_tpu import set_config, terms
+    from celerite2_tpu.gp import gp_compute, gp_log_likelihood
+
+    def ll(theta):
+        set_config(backend=backend)
+        kernel = terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        )
+        state = gp_compute(kernel, t, yerr=yerr)
+        return gp_log_likelihood(state, y)
+
+    return jax.jit(jax.value_and_grad(ll))
+
+
+def time_fn(fn, theta, *, reps=20, warmup=2):
+    for _ in range(warmup):
+        v, g = fn(theta)
+        jax.block_until_ready((v, g))
+    start = time.perf_counter()
+    for _ in range(reps):
+        v, g = fn(theta)
+        jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - start) / reps
+    return dt, float(v)
+
+
+def main():
+    N = 100_000
+    rng = np.random.default_rng(42)
+    t = jnp.asarray(np.sort(rng.uniform(0, 1000, N)))
+    yerr = jnp.full(N, 0.25, t.dtype)
+    y = jnp.asarray(
+        np.sin(0.7 * np.asarray(t)) + 0.25 * rng.normal(size=N)
+    )
+    theta = jnp.log(jnp.asarray([1.0, 5.0, 3.0], t.dtype))
+
+    results = {}
+    vals = {}
+    for backend in ("scan", "assoc"):
+        fn = make_fn(backend, t, yerr, y)
+        dt, val = time_fn(fn, theta)
+        results[backend] = 1.0 / dt
+        vals[backend] = val
+
+    # sanity: both backends agree
+    rel = abs(vals["scan"] - vals["assoc"]) / max(1.0, abs(vals["scan"]))
+    assert rel < 1e-3, (vals, rel)
+
+    best = max(results.values())
+    baseline = results["scan"]
+    print(
+        json.dumps(
+            {
+                "metric": "gp_loglik_grad_evals_per_s_N1e5_SHOTerm",
+                "value": round(best, 3),
+                "unit": "evals/s",
+                "vs_baseline": round(best / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

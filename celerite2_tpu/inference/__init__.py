@@ -3,6 +3,12 @@ from celerite2_tpu.inference.diagnostics import (
     split_rhat,
     summary,
 )
+from celerite2_tpu.inference.checkpoint import (
+    CheckpointManager,
+    restore_state,
+    save_state,
+)
+from celerite2_tpu.inference.fit import MAPResult, fit_map
 from celerite2_tpu.inference.nuts import nuts_kernel
 from celerite2_tpu.inference.sampler import NUTSResult, run_nuts
 from celerite2_tpu.inference.smc import SMCResult, run_smc
@@ -15,6 +21,11 @@ from celerite2_tpu.inference.transforms import (
 
 __all__ = [
     "nuts_kernel",
+    "fit_map",
+    "MAPResult",
+    "save_state",
+    "restore_state",
+    "CheckpointManager",
     "run_nuts",
     "NUTSResult",
     "run_advi",

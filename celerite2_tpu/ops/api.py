@@ -56,7 +56,7 @@ def _factor_fwd(t, c, a, U, V):
 def _factor_bwd(res, grads):
     t, c, a, U, V, d, W, S = res
     bd, bW = grads
-    bt, bc, ba, bU, bV = _scan.factor_rev_scan(
+    bt, bc, ba, bU, bV = _dispatch.factor_rev_impl(
         t, c, a, U, V, d, W, S, bd, bW
     )
     return bt, bc, ba, bU, bV
@@ -82,7 +82,7 @@ def _solve_lower_fwd(t, c, U, W, Y):
 
 def _solve_lower_bwd(res, bZ):
     t, c, U, W, Y, Z, F = res
-    bt, bc, bU, bW, bY = _scan.sweep_rev_scan(
+    bt, bc, bU, bW, bY = _dispatch.sweep_rev_impl(
         t, c, U, W, Y, Z, F, bZ, is_solve=True, upper=False
     )
     return bt, bc, bU, bW, bY
@@ -106,7 +106,7 @@ def _solve_upper_fwd(t, c, U, W, Y):
 def _solve_upper_bwd(res, bZ):
     t, c, U, W, Y, Z, F = res
     # forward used A=W (projection), B=U (carry); adjoint mirrors that.
-    bt, bc, bW, bU, bY = _scan.sweep_rev_scan(
+    bt, bc, bW, bU, bY = _dispatch.sweep_rev_impl(
         t, c, W, U, Y, Z, F, bZ, is_solve=True, upper=True
     )
     return bt, bc, bU, bW, bY
@@ -132,7 +132,7 @@ def _matmul_lower_fwd(t, c, U, V, Y):
 
 def _matmul_lower_bwd(res, bZ):
     t, c, U, V, Y, Z, F = res
-    bt, bc, bU, bV, bY = _scan.sweep_rev_scan(
+    bt, bc, bU, bV, bY = _dispatch.sweep_rev_impl(
         t, c, U, V, Y, Z, F, bZ, is_solve=False, upper=False
     )
     return bt, bc, bU, bV, bY
@@ -155,7 +155,7 @@ def _matmul_upper_fwd(t, c, U, V, Y):
 
 def _matmul_upper_bwd(res, bZ):
     t, c, U, V, Y, Z, F = res
-    bt, bc, bV, bU, bY = _scan.sweep_rev_scan(
+    bt, bc, bV, bU, bY = _dispatch.sweep_rev_impl(
         t, c, V, U, Y, Z, F, bZ, is_solve=False, upper=True
     )
     return bt, bc, bU, bV, bY

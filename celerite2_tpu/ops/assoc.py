@@ -49,6 +49,8 @@ from celerite2_tpu.ops.scan import _safe, transport, transport_up
 
 __all__ = [
     "factor_assoc",
+    "factor_rev_assoc",
+    "sweep_rev_assoc",
     "solve_lower_assoc",
     "solve_upper_assoc",
     "matmul_lower_assoc",
@@ -138,7 +140,10 @@ def solve_lower_assoc(t, c, U, W, Y):
     b = jnp.concatenate(
         [jnp.zeros((1, J, Y.shape[1]), Y.dtype), b_body], axis=0
     )
-    A_pref, b_pref = lax.associative_scan(_mat_affine_combine, (A, b))
+    with jax.default_matmul_precision("highest"):
+        A_pref, b_pref = lax.associative_scan(
+            _mat_affine_combine, (A, b)
+        )
     F_post = b_pref  # applied to F_init = 0
     Z = Y - jnp.einsum("nj,njk->nk", U, F_post)
     F_prev = jnp.concatenate(
@@ -165,9 +170,10 @@ def solve_upper_assoc(t, c, U, W, Y):
         [b_body, jnp.zeros((1, J, Y.shape[1]), Y.dtype)], axis=0
     )
 
-    A_pref, b_pref = lax.associative_scan(
-        _mat_affine_combine, (A, b), reverse=True
-    )
+    with jax.default_matmul_precision("highest"):
+        A_pref, b_pref = lax.associative_scan(
+            _mat_affine_combine, (A, b), reverse=True
+        )
     F_post = b_pref
     Z = Y - jnp.einsum("nj,njk->nk", W, F_post)
     F_next = jnp.concatenate(
@@ -263,7 +269,10 @@ def factor_assoc(t, c, a, U, V):
     Q = jnp.concatenate([jnp.zeros((1, J, J), U.dtype), Q_body], axis=0)
     R = jnp.concatenate([jnp.zeros((1, J, J), U.dtype), R_body], axis=0)
 
-    _, S_full, _ = lax.associative_scan(_riccati_combine, (A, Q, R))
+    # TPU f32 matmuls default to bf16 on the MXU; 1e5 Riccati
+    # compositions need full precision or pivots go negative
+    with jax.default_matmul_precision("highest"):
+        _, S_full, _ = lax.associative_scan(_riccati_combine, (A, Q, R))
     # S applied to S_init = 0 is just the combined Q
     d = a - jnp.einsum("nj,njk,nk->n", U, S_full, U)
     W = (V - jnp.einsum("njk,nk->nj", S_full, U)) / _safe(d)[:, None]
@@ -280,3 +289,224 @@ def factor_assoc(t, c, a, U, V):
         * jnp.einsum("nj,nk->njk", W_prev, W_prev)
     )
     return d, W, S_half
+
+
+# ===================================================== reverse sweeps
+#
+# The adjoint recursions (reference reverse.hpp / internal.hpp:191-303)
+# are *affine* in their carried state, so they parallelize exactly like
+# the forwards:
+#   * matmul_rev:  bF' = diag(p)(bF + a bz^T)            — diagonal affine
+#   * solve_rev:   bF' = diag(p)[(I - a b^T) bF - a bz^T] — J x J affine
+#   * factor_rev:  bS' = p (.) Lin(bS) (.) p + const      — J^2 affine
+# The factor operator Lin is materialized by applying the (hand-derived)
+# step map to the J^2 basis matrices — bug-resistant and exact.
+
+
+def _suffix_states(elems, combine, *, reverse):
+    """Inclusive prefix/suffix composition results for affine elements."""
+    with jax.default_matmul_precision("highest"):
+        return lax.associative_scan(combine, elems, reverse=reverse)
+
+
+def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
+    """Associative-scan twin of scan.sweep_rev_scan (same outputs)."""
+    N, J = A.shape
+    K = Y.shape[1]
+    dtype = Y.dtype
+    phi = transport_up(t, c) if upper else transport(t, c)
+    if upper:
+        dts = -jnp.concatenate([jnp.diff(t), jnp.zeros((1,), t.dtype)])
+    else:
+        dts = jnp.concatenate([jnp.zeros((1,), t.dtype), -jnp.diff(t)])
+    sign = -1.0 if is_solve else 1.0
+    R_rows = Z if is_solve else Y
+
+    if not upper:
+        # active steps n = 1..N-1, applied in decreasing n
+        sl_step = slice(1, None)
+        sl_feed = slice(None, -1)  # feeder/prev rows n-1
+    else:
+        # active steps n = 0..N-2, applied in increasing n
+        sl_step = slice(None, -1)
+        sl_feed = slice(1, None)  # feeder rows n+1
+
+    p = phi[sl_step]  # (N-1, J)
+    dt = dts[sl_step]
+    An = A[sl_step]
+    Bn = B[sl_step]  # row n's own feeder row (deferral consumption)
+    Bfeed = B[sl_feed]  # neighbour feeder row (deferral emission)
+    bZn = bZ[sl_step]
+    Fn = F[sl_step]
+
+    if is_solve:
+        # matrix affine elements
+        I = jnp.eye(J, dtype=dtype)
+        Amat = p[:, :, None] * (
+            I[None] - jnp.einsum("nj,nk->njk", An, Bn)
+        )
+        bvec = -p[:, :, None] * jnp.einsum("nj,nk->njk", An, bZn)
+        _, R = _suffix_states(
+            (Amat, bvec), _mat_affine_combine, reverse=not upper
+        )  # applied to zero init
+    else:
+        alpha = jnp.broadcast_to(p[:, :, None], (p.shape[0], J, K))
+        beta = p[:, :, None] * (
+            sign * jnp.einsum("nj,nk->njk", An, bZn)
+        )
+
+        def diag_combine(e1, e2):
+            a1, b1 = e1
+            a2, b2 = e2
+            return a2 * a1, a2 * b1 + b2
+
+        _, R = _suffix_states(
+            (alpha, beta), diag_combine, reverse=not upper
+        )
+
+    # carry entering step n: the state AFTER the neighbouring step
+    zero = jnp.zeros((1, J, K), dtype)
+    if not upper:
+        bF_in = jnp.concatenate([R[1:], zero], axis=0)
+    else:
+        bF_in = jnp.concatenate([zero, R[:-1]], axis=0)
+
+    # effective bz (solves accumulate the deferred contribution)
+    if is_solve:
+        bz_eff = bZn + jnp.einsum("njk,nj->nk", bF_in, Bn)
+    else:
+        bz_eff = bZn
+
+    pF = p[:, :, None] * Fn
+    bA_steps = sign * jnp.einsum("njk,nk->nj", pF, bz_eff)
+    mid = bF_in + sign * jnp.einsum("nj,nk->njk", An, bz_eff)
+    bp = jnp.einsum("njk,njk->nj", Fn, mid) * p
+    bc = jnp.sum(bp * dt[:, None], axis=0)
+    ft = bp @ c
+    post = p[:, :, None] * mid  # == R at each step
+    dbB = jnp.einsum("njk,nk->nj", post, R_rows[sl_feed])
+    dbR = jnp.einsum("njk,nj->nk", post, Bfeed)
+
+    # ---- assemble per-row outputs (same layout as the scan version)
+    zJ = jnp.zeros((1, J), dtype)
+    zK = jnp.zeros((1, K), dtype)
+    if not upper:
+        bA = jnp.concatenate([zJ, bA_steps])
+        bB = jnp.concatenate([dbB, zJ])
+        if is_solve:
+            bY = jnp.concatenate([(bZ[0] + dbR[0])[None] if N > 1 else bZ[:1], bz_eff])
+            # note: dbR[0] is the deferral emitted by step n=1 onto row 0
+        else:
+            bY = jnp.concatenate([dbR, zK])
+        ft_full = jnp.concatenate([jnp.zeros((1,), t.dtype), ft])
+        bt = -ft_full
+        bt = bt.at[:-1].add(ft_full[1:])
+    else:
+        bA = jnp.concatenate([bA_steps, zJ])
+        bB = jnp.concatenate([zJ, dbB])
+        if is_solve:
+            bY = jnp.concatenate([bz_eff, (bZ[-1] + dbR[-1])[None] if N > 1 else bZ[-1:]])
+        else:
+            bY = jnp.concatenate([zK, dbR])
+        ft_full = jnp.concatenate([ft, jnp.zeros((1,), t.dtype)])
+        bt = ft_full
+        bt = bt.at[1:].add(-ft_full[:-1])
+
+    return bt, bc, bA, bB, bY
+
+
+def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
+    """Associative-scan twin of scan.factor_rev_scan (same outputs).
+
+    The adjoint carry bS evolves affinely:
+      bv = bv0 + (bS + bS^T) w
+      ba = (bd - w.bv0) - w^T bS w
+      bS' = p (.) [bS - outer(u, bv) - ba outer(u, u)] (.) p
+    Lin is materialized as a J^2 x J^2 matrix by pushing basis matrices
+    through the step (exact, and cheap for J <= 4 where this path is
+    worth it; larger J dispatches to the sequential scan).
+    """
+    del a, V
+    N, J = U.shape
+    dtype = U.dtype
+    phi = transport(t, c)
+    dts = jnp.concatenate([jnp.zeros((1,), t.dtype), -jnp.diff(t)])
+    bv0 = bW / d[:, None]
+    bdp = bd - jnp.einsum("nj,nj->n", W, bv0)
+
+    # step parameters for n = 1..N-1
+    p = phi[1:]
+    u = U[1:]
+    w = W[1:]
+    bv0n = bv0[1:]
+    bdpn = bdp[1:]
+
+    def mid_of(M, u_n, w_n, bv0_n, bdp_n):
+        bv = bv0_n + (M + M.T) @ w_n
+        ba = bdp_n - w_n @ (M @ w_n)
+        return M - jnp.outer(u_n, bv) - ba * jnp.outer(u_n, u_n)
+
+    def step_map(M, p_n, u_n, w_n, bv0_n, bdp_n):
+        mid = mid_of(M, u_n, w_n, bv0_n, bdp_n)
+        return p_n[:, None] * mid * p_n[None, :]
+
+    basis = jnp.eye(J * J, dtype=dtype).reshape(J * J, J, J)
+    zJ = jnp.zeros((J,), dtype)
+    zS = jnp.zeros((), dtype)
+
+    def build_elem(p_n, u_n, w_n, bv0_n, bdp_n):
+        # linear part: push each basis matrix through (constants zeroed)
+        lin_cols = jax.vmap(
+            lambda E: step_map(E, p_n, u_n, w_n, zJ, zS).reshape(J * J)
+        )(basis)
+        L = lin_cols.T  # columns are images of basis vectors
+        Cv = step_map(
+            jnp.zeros((J, J), dtype), p_n, u_n, w_n, bv0_n, bdp_n
+        ).reshape(J * J)
+        return L, Cv
+
+    L, Cv = jax.vmap(build_elem)(p, u, w, bv0n, bdpn)
+    # keep the affine constant as a column matrix so the batched
+    # matmul in the combine contracts correctly
+    _, R = _suffix_states(
+        (L, Cv[..., None]), _mat_affine_combine, reverse=True
+    )
+    R = R.reshape(-1, J, J)  # bS after each step (applied to zero init)
+
+    # carry entering step n = state after step n+1
+    M_in = jnp.concatenate([R[1:], jnp.zeros((1, J, J), dtype)], axis=0)
+
+    bv = bv0n + jnp.einsum("njk,nk->nj", M_in + jnp.swapaxes(M_in, 1, 2), w)
+    ba = bdpn - jnp.einsum("nj,njk,nk->n", w, M_in, w)
+    S_half = S[1:]
+    S_full = S_half * p[:, None, :]
+    bU_steps = -jnp.einsum(
+        "njk,nk->nj", S_full, bv + 2.0 * ba[:, None] * u
+    )
+    mid = (
+        M_in
+        - jnp.einsum("nj,nk->njk", u, bv)
+        - ba[:, None, None] * jnp.einsum("nj,nk->njk", u, u)
+    )
+    # bp = diag(mid @ S_half + S_half^T @ mid) * p
+    bp = (
+        jnp.einsum("nik,nki->ni", mid, S_half)
+        + jnp.einsum("nki,nki->ni", S_half, mid)
+    ) * p
+    bc = jnp.sum(bp * dts[1:, None], axis=0)
+    ft = bp @ c
+
+    # row 0 boundary (uses the state after step 1 = R[0])
+    M0 = R[0] if N > 1 else jnp.zeros((J, J), dtype)
+    bv_0 = bv0[0] + (M0 + M0.T) @ W[0]
+    ba_0 = bd[0] + W[0] @ (M0 @ W[0]) - bv_0 @ W[0]
+
+    ba_steps = ba
+    ba_out = jnp.concatenate([ba_0[None], ba_steps])
+    bV_out = jnp.concatenate([bv_0[None], bv])
+    bU_out = jnp.concatenate([jnp.zeros((1, J), dtype), bU_steps])
+    ft_full = jnp.concatenate(
+        [jnp.zeros((1,), t.dtype), ft, jnp.zeros((1,), t.dtype)]
+    )
+    bt = ft_full[1:] - ft_full[:-1]
+    return bt, bc, ba_out, bU_out, bV_out

@@ -67,3 +67,28 @@ def matmul_upper_impl(t, c, U, V, Y):
 
         return _assoc.matmul_upper_assoc(t, c, U, V, Y)
     return _scan.matmul_upper_scan(t, c, U, V, Y)
+
+
+# ------------------------------------------------------ reverse sweeps
+
+
+def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
+    # the J^2-dim affine elements cost O(N J^4) memory; only worth it
+    # (and affordable) for small J where latency dominates
+    if _use_parallel(t.shape[0]) and U.shape[1] <= 4:
+        from celerite2_tpu.ops import assoc as _assoc
+
+        return _assoc.factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW)
+    return _scan.factor_rev_scan(t, c, a, U, V, d, W, S, bd, bW)
+
+
+def sweep_rev_impl(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
+    if _use_parallel(t.shape[0]):
+        from celerite2_tpu.ops import assoc as _assoc
+
+        return _assoc.sweep_rev_assoc(
+            t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+        )
+    return _scan.sweep_rev_scan(
+        t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+    )

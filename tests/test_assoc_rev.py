@@ -1,0 +1,66 @@
+"""Associative reverse sweeps vs the scan reverse sweeps (exact parity)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celerite2_tpu.ops import assoc, scan
+from celerite2_tpu.testing import get_matrices
+
+
+@pytest.fixture(scope="module")
+def sys50():
+    t, c, a, U, V, Y = get_matrices(size=50)
+    args = tuple(map(jnp.asarray, (t, c, a, U, V)))
+    d, W, S = scan.factor_scan(*args)
+    return args, jnp.asarray(Y), d, W, S
+
+
+def _rand_like(x, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=np.shape(x)))
+
+
+def test_factor_rev_assoc_matches_scan(sys50):
+    (t, c, a, U, V), Y, d, W, S = sys50
+    bd = _rand_like(d, 1)
+    bW = _rand_like(W, 2)
+    out1 = scan.factor_rev_scan(t, c, a, U, V, d, W, S, bd, bW)
+    out2 = assoc.factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW)
+    for x1, x2, name in zip(out1, out2, ["bt", "bc", "ba", "bU", "bV"]):
+        np.testing.assert_allclose(
+            x2, x1, rtol=1e-8, atol=1e-10, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("upper", [False, True])
+@pytest.mark.parametrize("is_solve", [False, True])
+def test_sweep_rev_assoc_matches_scan(sys50, is_solve, upper):
+    (t, c, a, U, V), Y, d, W, S = sys50
+
+    if is_solve:
+        A, B = (W, U) if upper else (U, W)
+        Z, F = (
+            scan.solve_upper_scan(t, c, U, W, Y)
+            if upper
+            else scan.solve_lower_scan(t, c, U, W, Y)
+        )
+    else:
+        A, B = (V, U) if upper else (U, V)
+        Z, F = (
+            scan.matmul_upper_scan(t, c, U, V, Y)
+            if upper
+            else scan.matmul_lower_scan(t, c, U, V, Y)
+        )
+
+    bZ = _rand_like(Z, 3)
+    out1 = scan.sweep_rev_scan(
+        t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+    )
+    out2 = assoc.sweep_rev_assoc(
+        t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+    )
+    for x1, x2, name in zip(out1, out2, ["bt", "bc", "bA", "bB", "bY"]):
+        np.testing.assert_allclose(
+            x2, x1, rtol=1e-8, atol=1e-10, err_msg=name
+        )

@@ -1,0 +1,106 @@
+"""Native CPU driver vs the JAX ops (cross-backend oracle tier)."""
+
+import numpy as np
+import pytest
+
+from celerite2_tpu.testing import get_matrices
+from celerite2_tpu.utils import LinAlgError
+
+cpu = pytest.importorskip("celerite2_tpu.cpu")
+
+
+@pytest.fixture(scope="module")
+def system():
+    return get_matrices(size=80, conditional=True)
+
+
+def test_factor_matches_jax(system):
+    import jax.numpy as jnp
+
+    from celerite2_tpu.ops import scan
+
+    t, c, a, U, V, Y, t2, U2, V2 = system
+    d_c, W_c = cpu.driver.factor(t, c, a, U, V)
+    d_j, W_j, _ = scan.factor_scan(*map(jnp.asarray, (t, c, a, U, V)))
+    np.testing.assert_allclose(d_c, d_j, rtol=1e-12)
+    np.testing.assert_allclose(W_c, W_j, rtol=1e-10, atol=1e-13)
+
+
+def test_sweeps_match_jax(system):
+    import jax.numpy as jnp
+
+    from celerite2_tpu.ops import scan
+
+    t, c, a, U, V, Y, t2, U2, V2 = system
+    d, W = cpu.driver.factor(t, c, a, U, V)
+
+    pairs = [
+        ("solve_lower", scan.solve_lower_scan, (U, W)),
+        ("solve_upper", scan.solve_upper_scan, (U, W)),
+        ("matmul_lower", scan.matmul_lower_scan, (U, V)),
+        ("matmul_upper", scan.matmul_upper_scan, (U, V)),
+    ]
+    for name, jax_fn, (A, B) in pairs:
+        Z_c = getattr(cpu.driver, name)(t, c, A, B, Y)
+        Z_j, _ = jax_fn(*map(jnp.asarray, (t, c, A, B, Y)))
+        np.testing.assert_allclose(
+            Z_c, Z_j, rtol=1e-10, atol=1e-12, err_msg=name
+        )
+
+
+def test_general_matmul_matches_jax(system):
+    import jax.numpy as jnp
+
+    from celerite2_tpu import ops
+
+    t, c, a, U, V, Y, t2, U2, V2 = system
+    Zl_c = cpu.driver.general_matmul_lower(t2, t, c, U2, V, Y)
+    Zl_j = ops.general_matmul_lower(
+        *map(jnp.asarray, (t2, t, c, U2, V, Y))
+    )
+    np.testing.assert_allclose(Zl_c, Zl_j, rtol=1e-10, atol=1e-12)
+
+    Zu_c = cpu.driver.general_matmul_upper(t2, t, c, V2, U, Y)
+    Zu_j = ops.general_matmul_upper(
+        *map(jnp.asarray, (t2, t, c, V2, U, Y))
+    )
+    np.testing.assert_allclose(Zu_c, Zu_j, rtol=1e-10, atol=1e-12)
+
+
+def test_matrices_fill(system):
+    t, c, a, U, V, Y, *_ = system
+    from celerite2_tpu import terms
+
+    # overdamped (real) term first so coefficient order == term order
+    kernel = terms.SHOTerm(S0=1.0, w0=2.5, Q=0.2) + terms.SHOTerm(
+        S0=5.0, w0=0.1, Q=3.45
+    )
+    rng = np.random.default_rng(721)
+    x = np.sort(rng.uniform(0, 10, 40))
+    diag = rng.uniform(0.1, 0.3, 40)
+    ar, cr, ac, bc, cc, dc = (np.asarray(v) for v in kernel.get_coefficients())
+    c_c, a_c, U_c, V_c = cpu.driver.get_celerite_matrices(
+        ar, cr, ac, bc, cc, dc, x, diag
+    )
+    c_j, a_j, U_j, V_j = (np.asarray(v) for v in kernel.get_celerite_matrices(x, diag))
+    np.testing.assert_allclose(c_c, c_j, rtol=1e-12)
+    np.testing.assert_allclose(a_c, a_j, rtol=1e-12)
+    np.testing.assert_allclose(U_c, U_j, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(V_c, V_j, rtol=1e-12, atol=1e-13)
+
+
+def test_factor_raises_on_nonpd(system):
+    t, c, a, U, V, Y, *_ = system
+    bad_a = np.asarray(a).copy()
+    bad_a[:] = -1.0
+    with pytest.raises(LinAlgError):
+        cpu.driver.factor(t, c, bad_a, U, V)
+
+
+def test_inplace_outputs(system):
+    t, c, a, U, V, Y, *_ = system
+    N, J = np.shape(U)
+    d_buf = np.empty(N)
+    W_buf = np.empty((N, J))
+    d, W = cpu.driver.factor(t, c, a, U, V, d_out=d_buf, W_out=W_buf)
+    assert d is d_buf and W is W_buf

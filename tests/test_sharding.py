@@ -1,0 +1,116 @@
+"""Multi-device parity on the 8-virtual-CPU mesh.
+
+Tier (a)+(b) from SURVEY.md section 4.3: sharded-vs-unsharded
+consistency of the blocked/sharded scan, and chain-sharded NUTS."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+
+from celerite2_tpu import terms
+from celerite2_tpu.gp import gp_compute, gp_log_likelihood
+from celerite2_tpu.parallel import (
+    P,
+    chain_sharding,
+    make_mesh,
+    make_sharded_logdensity,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "tests need 8 virtual devices"
+    return make_mesh(chains=2, seq=4)
+
+
+@pytest.fixture(scope="module")
+def mesh_seq():
+    return make_mesh(chains=1, seq=8)
+
+
+def _data(n=256):
+    rng = np.random.default_rng(99)
+    t = np.sort(rng.uniform(0, 20, n))
+    yerr = rng.uniform(0.1, 0.3, n)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    import celerite2_tpu as c2
+
+    gp = c2.GaussianProcess(kernel, t=t, yerr=yerr)
+    y = np.asarray(gp.sample(jax.random.PRNGKey(5)))
+    return t, yerr, y
+
+
+def test_sharded_loglik_matches_unsharded(mesh_seq):
+    t, yerr, y = _data(256)
+
+    def builder(theta):
+        return terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+
+    logd = make_sharded_logdensity(builder, t, y, yerr, mesh_seq)
+    theta = jnp.asarray([1.2, 4.0, 3.0])
+    ll_sharded = jax.jit(logd)(theta)
+
+    state = gp_compute(builder(theta), t, yerr=yerr)
+    ll_ref = gp_log_likelihood(state, y)
+    np.testing.assert_allclose(ll_sharded, ll_ref, rtol=1e-9)
+
+
+def test_sharded_loglik_grad(mesh_seq):
+    t, yerr, y = _data(128)
+
+    def builder(theta):
+        return terms.SHOTerm(sigma=theta[0], rho=theta[1], tau=theta[2])
+
+    logd = make_sharded_logdensity(builder, t, y, yerr, mesh_seq)
+    theta = jnp.asarray([1.2, 4.0, 3.0])
+    g_sharded = jax.jit(jax.grad(logd))(theta)
+
+    def ref(theta):
+        state = gp_compute(builder(theta), t, yerr=yerr)
+        return gp_log_likelihood(state, y)
+
+    g_ref = jax.grad(ref)(theta)
+    np.testing.assert_allclose(g_sharded, g_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_nonpd_minus_inf(mesh_seq):
+    t, yerr, y = _data(128)
+
+    def builder(theta):
+        return terms.RealTerm(a=theta[0], c=theta[1])
+
+    logd = make_sharded_logdensity(builder, t, 0.0 * np.asarray(y), 0.0 * yerr, mesh_seq)
+    val = jax.jit(logd)(jnp.asarray([-5.0, 0.5]))
+    assert np.isneginf(float(val))
+
+
+def test_chain_sharded_nuts(mesh8):
+    """Chains sharded over the mesh: same program, 8 chains on 8 devs."""
+    from celerite2_tpu.inference import run_nuts, split_rhat
+
+    dim = 3
+    prec = jnp.asarray(np.diag([1.0, 2.0, 0.5]))
+    mu = jnp.asarray([1.0, -1.0, 0.0])
+
+    def logp(q):
+        r = q - mu
+        return -0.5 * r @ prec @ r
+
+    sharding = NamedSharding(mesh8, P(("chains", "seq")))
+    res = run_nuts(
+        logp,
+        jnp.zeros(dim),
+        jax.random.PRNGKey(0),
+        num_warmup=300,
+        num_samples=300,
+        num_chains=8,
+        chain_axis=sharding,
+    )
+    assert res.samples.shape == (8, 300, 3)
+    assert np.all(np.asarray(split_rhat(res.samples)) < 1.1)
+    m = np.asarray(res.samples).reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(m, np.asarray(mu), atol=0.3)

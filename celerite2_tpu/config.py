@@ -29,21 +29,27 @@ class Config:
 
     Attributes:
         backend: which op implementation family to use.
-            - "auto": heuristic dispatch (batched small-N -> "scan",
-              large single-eval -> "blocked").
+            - "auto": heuristic dispatch — on TPU, "pallas" above
+              ``pallas_threshold`` rows else "scan"; on CPU/GPU,
+              "assoc" above ``assoc_threshold`` else "scan".
             - "scan": plain ``lax.scan`` recursions (always correct; best
               when heavily vmapped, e.g. thousands of NUTS chains).
             - "assoc": ``lax.associative_scan`` formulations (log-depth;
-              best for single large-N evaluations).
-            - "blocked": two-phase blocked scan (dense within blocks,
-              carry exchange across blocks).
-        block_size: rows per block for the blocked backend.
-        assoc_threshold: minimum N for "auto" to pick a parallel backend.
+              best for single large-N evaluations on CPU/GPU — the
+              TPU XLA pipeline compiles these pathologically slowly,
+              so "auto" never picks assoc on TPU).
+            - "pallas": blockwise-sequential Pallas TPU kernels with
+              VMEM-resident carries (~100x lower per-row overhead than
+              ``lax.scan`` on TPU; interpret mode elsewhere).
+        block_size: rows per grid step for the pallas backend.
+        assoc_threshold: minimum N for "auto" to pick assoc (CPU/GPU).
+        pallas_threshold: minimum N for "auto" to pick pallas (TPU).
     """
 
-    backend: Literal["auto", "scan", "assoc", "blocked"] = "auto"
-    block_size: int = 256
+    backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"
+    block_size: int = 1024
     assoc_threshold: int = 2048
+    pallas_threshold: int = 512
 
 
 _config = Config()

@@ -21,11 +21,13 @@ import jax
 import jax.numpy as jnp
 
 
-def make_fn(backend, t, yerr, y):
+def make_fn(backend):
     from celerite2_tpu import set_config, terms
     from celerite2_tpu.gp import gp_compute, gp_log_likelihood
 
-    def ll(theta):
+    # data flows through ARGUMENTS, never closures: the axon TPU
+    # runtime re-uploads closure device constants every call (~40ms)
+    def ll(theta, t, yerr, y):
         set_config(backend=backend)
         kernel = terms.SHOTerm(
             sigma=jnp.exp(theta[0]),
@@ -38,13 +40,13 @@ def make_fn(backend, t, yerr, y):
     return jax.jit(jax.value_and_grad(ll))
 
 
-def time_fn(fn, theta, *, reps, warmup=1):
+def time_fn(fn, args, *, reps, warmup=1):
     for _ in range(warmup):
-        v, g = fn(theta)
+        v, g = fn(*args)
         jax.block_until_ready((v, g))
     start = time.perf_counter()
     for _ in range(reps):
-        v, g = fn(theta)
+        v, g = fn(*args)
         jax.block_until_ready((v, g))
     dt = (time.perf_counter() - start) / reps
     return dt, float(v)
@@ -60,16 +62,16 @@ def main():
     )
     theta = jnp.log(jnp.asarray([1.0, 5.0, 3.0], t.dtype))
 
-    on_tpu = jax.default_backend() == "tpu"
-    # the fast tier: pallas kernels on TPU; associative scan elsewhere
-    # (the TPU XLA pipeline compiles assoc pathologically slowly)
-    fast = "pallas" if on_tpu else "assoc"
+    # the fast tier: the assoc formulations, which pick a platform-
+    # appropriate engine (two-level blocked scan on TPU, log-depth
+    # lax.associative_scan elsewhere)
+    fast = "assoc"
 
     results = {}
     vals = {}
     for backend, reps in (("scan", 3), (fast, 20)):
-        fn = make_fn(backend, t, yerr, y)
-        dt, val = time_fn(fn, theta, reps=reps)
+        fn = make_fn(backend)
+        dt, val = time_fn(fn, (theta, t, yerr, y), reps=reps)
         results[backend] = 1.0 / dt
         vals[backend] = val
 

@@ -29,21 +29,22 @@ class Config:
 
     Attributes:
         backend: which op implementation family to use.
-            - "auto": heuristic dispatch — on TPU, "pallas" above
-              ``pallas_threshold`` rows else "scan"; on CPU/GPU,
-              "assoc" above ``assoc_threshold`` else "scan".
-            - "scan": plain ``lax.scan`` recursions (always correct; best
-              when heavily vmapped, e.g. thousands of NUTS chains).
-            - "assoc": ``lax.associative_scan`` formulations (log-depth;
-              best for single large-N evaluations on CPU/GPU — the
-              TPU XLA pipeline compiles these pathologically slowly,
-              so "auto" never picks assoc on TPU).
+            - "auto": "assoc" above ``assoc_threshold`` rows, else
+              "scan".
+            - "scan": plain ``lax.scan`` recursions (always correct;
+              best when heavily vmapped, e.g. thousands of NUTS
+              chains, and for small N).
+            - "assoc": parallel prefix-composition formulations; the
+              engine is platform-appropriate — a sqrt(N)-blocked
+              two-level plain-scan on TPU (32x the scan tier at
+              N=1e5), ``lax.associative_scan`` elsewhere.
             - "pallas": blockwise-sequential Pallas TPU kernels with
-              VMEM-resident carries (~100x lower per-row overhead than
-              ``lax.scan`` on TPU; interpret mode elsewhere).
+              VMEM-resident carries (~12-13x the scan tier; kept as an
+              explicit backend and the wide-J reverse fallback;
+              interpret mode off-TPU).
         block_size: rows per grid step for the pallas backend.
-        assoc_threshold: minimum N for "auto" to pick assoc (CPU/GPU).
-        pallas_threshold: minimum N for "auto" to pick pallas (TPU).
+        assoc_threshold: minimum N for "auto" to pick assoc.
+        pallas_threshold: retained for explicit pallas experiments.
     """
 
     backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"

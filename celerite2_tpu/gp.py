@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from celerite2_tpu import ops
 from celerite2_tpu.utils import LinAlgError
+from celerite2_tpu.utils.misc import asarr as _asarr, atleast_1d as _atleast_1d
 
 __all__ = [
     "ConstantMean",
@@ -45,7 +46,7 @@ class ConstantMean:
         self.value = value
 
     def __call__(self, x):
-        return jnp.broadcast_to(jnp.asarray(self.value), jnp.shape(x))
+        return jnp.broadcast_to(_asarr(self.value), jnp.shape(x))
 
 
 class GPState(NamedTuple):
@@ -70,18 +71,18 @@ class GPState(NamedTuple):
 
 def gp_compute(kernel, t, *, yerr=None, diag=None, mean=0.0) -> GPState:
     """Build and factorize the GP system (reference core.py:262-317)."""
-    t = jnp.atleast_1d(jnp.asarray(t))
+    t = _atleast_1d((t))
     if yerr is not None and diag is not None:
         raise ValueError("only one of 'diag' and 'yerr' can be provided")
     if yerr is not None:
-        diag_v = jnp.broadcast_to(jnp.asarray(yerr), t.shape) ** 2
+        diag_v = jnp.broadcast_to(_asarr(yerr), t.shape) ** 2
     elif diag is not None:
-        diag_v = jnp.broadcast_to(jnp.asarray(diag), t.shape)
+        diag_v = jnp.broadcast_to(_asarr(diag), t.shape)
     else:
         diag_v = jnp.zeros_like(t)
 
     mean_fn = mean if callable(mean) else ConstantMean(mean)
-    mean_value = jnp.broadcast_to(jnp.asarray(mean_fn(t)), t.shape)
+    mean_value = jnp.broadcast_to(_asarr(mean_fn(t)), t.shape)
 
     c, a, U, V = kernel.get_celerite_matrices(t, diag_v)
     d, W = ops.factor(t, c, a, U, V)
@@ -111,7 +112,7 @@ def gp_compute(kernel, t, *, yerr=None, diag=None, mean=0.0) -> GPState:
 
 
 def _as_matrix(y):
-    y = jnp.asarray(y)
+    y = _asarr(y)
     if y.ndim == 1:
         return y[:, None], True
     return y, False
@@ -140,7 +141,7 @@ def gp_dot_tril(state: GPState, y):
 def gp_log_likelihood(state: GPState, y):
     """norm - (log_det + alpha^T d^{-1} alpha)/2 (reference core.py:407-428,
     numpy.py:104-109), with quiet -inf on non-PD systems."""
-    y = jnp.asarray(y)
+    y = _asarr(y)
     resid = (y - state.mean_value)[:, None]
     alpha = ops.solve_lower(state.t, state.c, state.U, state.W, resid)[:, 0]
     safe_d = jnp.where(state.d > 0, state.d, jnp.ones_like(state.d))
@@ -174,8 +175,8 @@ class ConditionalDistribution:
 
     def __init__(self, gp, y, t=None, *, include_mean=True, kernel=None):
         self.gp = gp
-        self.y = jnp.asarray(y)
-        self.t = None if t is None else jnp.atleast_1d(jnp.asarray(t))
+        self.y = _asarr(y)
+        self.t = None if t is None else _atleast_1d((t))
         if self.t is not None and self.t.ndim != 1:
             raise ValueError("'t' must be one-dimensional")
         self.include_mean = include_mean
@@ -305,7 +306,7 @@ class GaussianProcess:
     def compute(
         self, t, *, yerr=None, diag=None, check_sorted=True, quiet=False
     ):
-        t = jnp.atleast_1d(jnp.asarray(t))
+        t = _atleast_1d((t))
         if t.ndim != 1:
             raise ValueError(
                 "The input coordinates must be one dimensional"
@@ -343,7 +344,7 @@ class GaussianProcess:
 
     def _process_input(self, y, *, require_vector=False):
         self._require_computed()
-        y = jnp.asarray(y)
+        y = _asarr(y)
         if require_vector and y.ndim != 1:
             raise ValueError("'y' must be one dimensional")
         if y.shape[0] != self._state.t.shape[0]:

@@ -84,9 +84,11 @@ def warmup_and_sample(
     dim = q0.shape[0]
     dtype = q0.dtype
 
-    in_slow, win_end = _adapt.build_schedule(num_warmup)
-    in_slow = jnp.asarray(np.asarray(in_slow))
-    win_end = jnp.asarray(np.asarray(win_end))
+    # keep the schedule as numpy: concrete values captured in traced
+    # code must be HLO literals, not device constants (utils.misc.asarr)
+    in_slow, win_end = (
+        np.asarray(x) for x in _adapt.build_schedule(num_warmup)
+    )
 
     key, k_eps = jax.random.split(key)
     inv_mass0 = jnp.ones((dim,), dtype)

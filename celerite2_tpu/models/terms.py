@@ -32,6 +32,8 @@ from functools import wraps
 import jax
 import jax.numpy as jnp
 
+from celerite2_tpu.utils.misc import asarr as _asarr, atleast_1d as _atleast_1d
+
 __all__ = [
     "Term",
     "TermSum",
@@ -114,7 +116,7 @@ class Term:
     # ------------------------------------------------------- evaluation
     def get_value(self, tau):
         """Evaluate k(tau) (reference terms.py:58-79)."""
-        tau = jnp.abs(jnp.atleast_1d(jnp.asarray(tau)))[..., None]
+        tau = jnp.abs(_atleast_1d((tau)))[..., None]
         ar, cr, ac, bc, cc, dc = self.get_coefficients()
         k = jnp.sum(ar * jnp.exp(-cr * tau), axis=-1)
         arg = dc * tau
@@ -126,7 +128,7 @@ class Term:
 
     def get_psd(self, omega):
         """Power spectral density (reference terms.py:81-104)."""
-        w2 = jnp.atleast_1d(jnp.asarray(omega))[..., None] ** 2
+        w2 = _atleast_1d((omega))[..., None] ** 2
         ar, cr, ac, bc, cc, dc = self.get_coefficients()
         psd = jnp.sum(ar * cr / (cr**2 + w2), axis=-1)
         w02 = cc**2 + dc**2
@@ -139,9 +141,9 @@ class Term:
 
     def to_dense(self, x, diag):
         """Dense covariance matrix (test oracle; reference terms.py:106-115)."""
-        x = jnp.atleast_1d(jnp.asarray(x))
+        x = _atleast_1d((x))
         K = self.get_value(x[:, None] - x[None, :])
-        return K + jnp.diag(jnp.atleast_1d(jnp.asarray(diag)))
+        return K + jnp.diag(_atleast_1d((diag)))
 
     # ----------------------------------------------------- the matrices
     def get_celerite_matrices(self, x, diag):
@@ -150,8 +152,8 @@ class Term:
         Complex pairs are interleaved after the real columns, matching the
         reference layout (terms.py:171-176).
         """
-        x = jnp.atleast_1d(jnp.asarray(x))
-        diag = jnp.broadcast_to(jnp.asarray(diag), x.shape)
+        x = _atleast_1d((x))
+        diag = jnp.broadcast_to(_asarr(diag), x.shape)
         ar, cr, ac, bc, cc, dc = self.get_coefficients()
         return _matrices_from_coefficients(
             x, diag, ar, cr, ac, bc, cc, dc
@@ -161,8 +163,8 @@ class Term:
         """Apply ``K @ y`` in O(N J nrhs) (reference terms.py:179-207)."""
         from celerite2_tpu.ops import matmul_lower, matmul_upper
 
-        x = jnp.atleast_1d(jnp.asarray(x))
-        y = jnp.asarray(y)
+        x = _atleast_1d((x))
+        y = _asarr(y)
         if y.shape[0] != x.shape[0]:
             raise ValueError("dimension mismatch")
         is_vector = y.ndim == 1
@@ -257,8 +259,8 @@ class TermSum(Term):
         # Compose via the sub-term matrices so terms that override matrix
         # construction (SHOTerm, sub-kernels) stay correct under tracing
         # (cf. reference jax/terms.py:182-205).
-        x = jnp.atleast_1d(jnp.asarray(x))
-        diag = jnp.broadcast_to(jnp.asarray(diag), x.shape)
+        x = _atleast_1d((x))
+        diag = jnp.broadcast_to(_asarr(diag), x.shape)
         zero = jnp.zeros_like(diag)
         cs, alist, Us, Vs = [], [], [], []
         for t in self._terms:
@@ -376,8 +378,8 @@ class TermProduct(Term):
         #   = sum_{jk} (U1 kr U2)[n,jk] (V1 kr V2)[m,jk] e^{-(c_j+c_k) dt}.
         # Composing at the matrix level keeps branchless sub-terms (SHOTerm)
         # traceable (cf. reference jax/terms.py:218-232).
-        x = jnp.atleast_1d(jnp.asarray(x))
-        diag = jnp.broadcast_to(jnp.asarray(diag), x.shape)
+        x = _atleast_1d((x))
+        diag = jnp.broadcast_to(_asarr(diag), x.shape)
         zero = jnp.zeros_like(diag)
         c1, a1, U1, V1 = self.term1.get_celerite_matrices(x, zero)
         c2, a2, U2, V2 = self.term2.get_celerite_matrices(x, zero)
@@ -426,7 +428,7 @@ class TermConvolution(Term):
 
     def __init__(self, term, delta):
         self.term = term
-        self.delta = jnp.asarray(delta)
+        self.delta = _asarr(delta)
 
     def get_celerite_matrices(self, x, diag):
         # The boxcar integral changes the tau->0 limit: correct the diagonal
@@ -453,8 +455,8 @@ class TermConvolution(Term):
             )
             / norm
         )
-        x = jnp.atleast_1d(jnp.asarray(x))
-        diag = jnp.broadcast_to(jnp.asarray(diag), x.shape)
+        x = _atleast_1d((x))
+        diag = jnp.broadcast_to(_asarr(diag), x.shape)
         return Term.get_celerite_matrices(self, x, diag + delta_diag)
 
     def get_coefficients(self):
@@ -484,7 +486,7 @@ class TermConvolution(Term):
         )
 
     def get_psd(self, omega):
-        omega = jnp.atleast_1d(jnp.asarray(omega))
+        omega = _atleast_1d((omega))
         psd0 = self.term.get_psd(omega)
         arg = 0.5 * self.delta * omega
         sinc = jnp.where(arg == 0.0, 1.0, jnp.sin(arg) / jnp.where(arg == 0.0, 1.0, arg))
@@ -497,7 +499,7 @@ class TermConvolution(Term):
         dt = self.delta
         ar, cr, a, b, c, d = self.term.get_coefficients()
 
-        tau0 = jnp.abs(jnp.atleast_1d(jnp.asarray(tau0)))
+        tau0 = jnp.abs(_atleast_1d((tau0)))
         tau = tau0[..., None]
         dpt = dt + tau
         dmt = dt - tau
@@ -563,14 +565,14 @@ class RealTerm(Term):
         return dict(a=1.5, c=0.7)
 
     def __init__(self, *, a, c):
-        self.a = jnp.asarray(a)
-        self.c = jnp.asarray(c)
+        self.a = _asarr(a)
+        self.c = _asarr(c)
 
     def get_coefficients(self):
         e = jnp.zeros((0,), dtype=jnp.result_type(self.a))
         return (
-            jnp.atleast_1d(self.a),
-            jnp.atleast_1d(self.c),
+            _atleast_1d(self.a),
+            _atleast_1d(self.c),
             e,
             e,
             e,
@@ -590,20 +592,20 @@ class ComplexTerm(Term):
         return dict(a=1.5, b=0.7, c=0.7, d=0.5)
 
     def __init__(self, *, a, b, c, d):
-        self.a = jnp.asarray(a)
-        self.b = jnp.asarray(b)
-        self.c = jnp.asarray(c)
-        self.d = jnp.asarray(d)
+        self.a = _asarr(a)
+        self.b = _asarr(b)
+        self.c = _asarr(c)
+        self.d = _asarr(d)
 
     def get_coefficients(self):
         e = jnp.zeros((0,), dtype=jnp.result_type(self.a))
         return (
             e,
             e,
-            jnp.atleast_1d(self.a),
-            jnp.atleast_1d(self.b),
-            jnp.atleast_1d(self.c),
-            jnp.atleast_1d(self.d),
+            _atleast_1d(self.a),
+            _atleast_1d(self.b),
+            _atleast_1d(self.c),
+            _atleast_1d(self.d),
         )
 
 
@@ -611,7 +613,7 @@ class handle_parameter_spec:
     """Enforce exactly-one-of alternative parameterizations
     (reference terms.py:572-601)."""
 
-    def __init__(self, mapper=jnp.asarray):
+    def __init__(self, mapper=_asarr):
         self.mapper = mapper
 
     def __call__(self, to_wrap):
@@ -669,9 +671,9 @@ class SHOTerm(Term):
     def get_test_parameters():
         return dict(sigma=1.5, tau=2.345, rho=3.4)
 
-    @handle_parameter_spec(jnp.asarray)
+    @handle_parameter_spec(_asarr)
     def __init__(self, *, eps=1e-5):
-        self.eps = jnp.asarray(eps)
+        self.eps = _asarr(eps)
 
     # -- the two regimes, each as width-2 coefficient sets ------------
     def _overdamped(self):
@@ -724,7 +726,7 @@ class SHOTerm(Term):
     def get_value(self, tau):
         ar, cr = self._overdamped()
         ac, bc, cc, dc = self._underdamped()
-        tau = jnp.abs(jnp.atleast_1d(jnp.asarray(tau)))[..., None]
+        tau = jnp.abs(_atleast_1d((tau)))[..., None]
         over = jnp.sum(ar * jnp.exp(-cr * tau), axis=-1)
         arg = dc * tau
         under = jnp.sum(
@@ -736,7 +738,7 @@ class SHOTerm(Term):
     def get_psd(self, omega):
         # Closed form (same for both regimes):
         # S(w) = sqrt(2/pi) S0 w0^4 / ((w^2-w0^2)^2 + w0^2 w^2 / Q^2)
-        w2 = jnp.atleast_1d(jnp.asarray(omega)) ** 2
+        w2 = _atleast_1d((omega)) ** 2
         w02 = self.w0**2
         return (
             jnp.sqrt(2.0 / jnp.pi)
@@ -746,8 +748,8 @@ class SHOTerm(Term):
         )
 
     def get_celerite_matrices(self, x, diag):
-        x = jnp.atleast_1d(jnp.asarray(x))
-        diag = jnp.broadcast_to(jnp.asarray(diag), x.shape)
+        x = _atleast_1d((x))
+        diag = jnp.broadcast_to(_asarr(diag), x.shape)
         e = jnp.zeros((0,), dtype=x.dtype)
 
         ar, cr = self._overdamped()
@@ -778,9 +780,9 @@ class Matern32Term(Term):
         return dict(sigma=1.5, rho=2.345)
 
     def __init__(self, *, sigma, rho, eps=0.01):
-        self.sigma = jnp.asarray(sigma)
-        self.rho = jnp.asarray(rho)
-        self.eps = jnp.asarray(eps)
+        self.sigma = _asarr(sigma)
+        self.rho = _asarr(rho)
+        self.eps = _asarr(eps)
 
     def get_coefficients(self):
         w0 = jnp.sqrt(3.0) / self.rho
@@ -789,10 +791,10 @@ class Matern32Term(Term):
         return (
             e,
             e,
-            jnp.atleast_1d(w0 * S0),
-            jnp.atleast_1d(w0**2 * S0 / self.eps),
-            jnp.atleast_1d(w0),
-            jnp.atleast_1d(self.eps),
+            _atleast_1d(w0 * S0),
+            _atleast_1d(w0**2 * S0 / self.eps),
+            _atleast_1d(w0),
+            _atleast_1d(self.eps),
         )
 
 
@@ -808,11 +810,11 @@ class RotationTerm(Term):
         return dict(sigma=1.5, period=3.45, Q0=1.3, dQ=1.05, f=0.5)
 
     def __init__(self, *, sigma, period, Q0, dQ, f):
-        self.sigma = jnp.asarray(sigma)
-        self.period = jnp.asarray(period)
-        self.Q0 = jnp.asarray(Q0)
-        self.dQ = jnp.asarray(dQ)
-        self.f = jnp.asarray(f)
+        self.sigma = _asarr(sigma)
+        self.period = _asarr(period)
+        self.Q0 = _asarr(Q0)
+        self.dQ = _asarr(dQ)
+        self.f = _asarr(f)
 
     def _sho_terms(self):
         amp = self.sigma**2 / (1 + self.f)
@@ -865,7 +867,7 @@ class OriginalCeleriteTerm(Term):
     def __init__(self, term):
         coeffs = term.get_all_coefficients()
         self.ar, self.cr, self.ac, self.bc, self.cc, self.dc = (
-            jnp.asarray(c) for c in coeffs
+            _asarr(c) for c in coeffs
         )
 
     def get_coefficients(self):

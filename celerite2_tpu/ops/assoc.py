@@ -41,13 +41,21 @@ them in the test suite.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from celerite2_tpu.ops.scan import _safe, transport, transport_up
+from celerite2_tpu.ops.scan import (
+    _full_precision,
+    _safe,
+    transport,
+    transport_up,
+)
 
 __all__ = [
+    "two_level_prefix",
     "factor_assoc",
     "factor_rev_assoc",
     "sweep_rev_assoc",
@@ -56,6 +64,131 @@ __all__ = [
     "matmul_lower_assoc",
     "matmul_upper_assoc",
 ]
+
+
+# ======================================================== scan engines
+#
+# Two interchangeable engines compute inclusive prefix compositions of
+# monoid elements:
+#
+#   * ``lax.associative_scan`` — log-depth, minimal work; XLA:CPU/GPU
+#     compile it fine, but the XLA:TPU pipeline takes *minutes* even at
+#     N=1e3 (measured; independent of the combine function).
+#   * ``two_level_prefix`` — a sqrt(N)-blocked formulation in plain
+#     ``lax.scan``: compose within blocks (one scan of ~sqrt(N) steps,
+#     each step batched over all blocks — full VPU/MXU utilization),
+#     chain the block maps (one scan of ~sqrt(N) tiny steps), then one
+#     batched combine distributes block prefixes to every row.  ~2N
+#     combines total, ~2*sqrt(N) sequential steps.  This is the shape
+#     the TPU wants: sequential-per-row kernels are latency-bound at
+#     ~500+ cycles/row whenever a reduction sits on the carried path.
+
+
+def two_level_prefix(combine, elems, identity, *, reverse=False):
+    """Inclusive prefix composition of ``elems`` along axis 0.
+
+    ``combine(earlier, later)`` must be associative and batch over
+    leading dims; ``identity(elems)`` returns the monoid identity as a
+    pytree matching one element with leading dim 1 (used for padding
+    and initial carries).
+    """
+    if reverse:
+        flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
+        out = two_level_prefix(combine, flipped, identity)
+        return jax.tree_util.tree_map(lambda x: x[::-1], out)
+
+    leaves = jax.tree_util.tree_leaves(elems)
+    N = leaves[0].shape[0]
+    L = max(1, int(math.ceil(math.sqrt(N))))
+    NB = -(-N // L)
+    pad = L * NB - N
+
+    ident = identity(elems)
+    if pad:
+        elems = jax.tree_util.tree_map(
+            lambda x, i: jnp.concatenate(
+                [x, jnp.broadcast_to(i, (pad,) + x.shape[1:])], axis=0
+            ),
+            elems,
+            ident,
+        )
+
+    # (N,) -> (NB, L, ...) -> (L, NB, ...): time-major within blocks
+    def to_lm(x):
+        x = x.reshape((NB, L) + x.shape[1:])
+        return jnp.swapaxes(x, 0, 1)
+
+    elems_lm = jax.tree_util.tree_map(to_lm, elems)
+    id_block = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:1], (NB,) + x.shape[1:]),
+        ident,
+    )
+
+    def step(acc, el):
+        new = combine(acc, el)
+        return new, new
+
+    _, prefixes = lax.scan(step, id_block, elems_lm)
+
+    block_maps = jax.tree_util.tree_map(lambda p: p[-1], prefixes)
+
+    def chain(acc, bm):
+        return combine(acc, bm), acc  # emit the EXCLUSIVE prefix
+
+    id_one = jax.tree_util.tree_map(lambda x: x[0], ident)
+    _, excl = lax.scan(chain, id_one, block_maps)
+
+    # distribute: row (l, b) = combine(excl_b, prefix_{l, b})
+    excl_b = jax.tree_util.tree_map(
+        lambda e, p: jnp.broadcast_to(e[None], p.shape), excl, prefixes
+    )
+    full = combine(excl_b, prefixes)
+
+    def from_lm(x):
+        x = jnp.swapaxes(x, 0, 1).reshape((L * NB,) + x.shape[2:])
+        return x[:N]
+
+    return jax.tree_util.tree_map(from_lm, full)
+
+
+def _id_affine(elems):
+    """Identity for (A (N,J,J), b (N,...)) affine elements."""
+    A, b = elems
+    J = A.shape[-1]
+    return (
+        jnp.broadcast_to(jnp.eye(J, dtype=A.dtype), (1,) + A.shape[1:]),
+        jnp.zeros((1,) + b.shape[1:], b.dtype),
+    )
+
+
+def _id_diag(elems):
+    alpha, beta = elems
+    return (
+        jnp.ones((1,) + alpha.shape[1:], alpha.dtype),
+        jnp.zeros((1,) + beta.shape[1:], beta.dtype),
+    )
+
+
+def _id_riccati(elems):
+    A, Q, R = elems
+    J = A.shape[-1]
+    return (
+        jnp.broadcast_to(jnp.eye(J, dtype=A.dtype), (1,) + A.shape[1:]),
+        jnp.zeros((1,) + Q.shape[1:], Q.dtype),
+        jnp.zeros((1,) + R.shape[1:], R.dtype),
+    )
+
+
+def _use_two_level() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _engine_scan(combine, elems, identity, *, reverse=False):
+    """Pick the platform-appropriate prefix-composition engine."""
+    if _use_two_level():
+        return two_level_prefix(combine, elems, identity,
+                                reverse=reverse)
+    return lax.associative_scan(combine, elems, reverse=reverse)
 
 
 # ===================================================== diagonal affine
@@ -74,10 +207,12 @@ def _diag_affine_scan(alpha, beta, *, reverse=False):
         a2, b2 = e2
         return a2 * a1, a2 * b1 + b2
 
-    _, f = lax.associative_scan(combine, (alpha, beta), reverse=reverse)
+    _, f = _engine_scan(combine, (alpha, beta), _id_diag,
+                        reverse=reverse)
     return f
 
 
+@_full_precision
 def matmul_lower_assoc(t, c, U, V, Y):
     phi = transport(t, c)  # (N, J); row 0 = 0
     G = V[:, :, None] * Y[:, None, :]  # (N, J, K)
@@ -98,6 +233,7 @@ def matmul_lower_assoc(t, c, U, V, Y):
     return Z, F_pre
 
 
+@_full_precision
 def matmul_upper_assoc(t, c, U, V, Y):
     phi = transport_up(t, c)  # (N, J); row N-1 = 0
     G = U[:, :, None] * Y[:, None, :]
@@ -125,6 +261,7 @@ def _mat_affine_combine(e1, e2):
     return A2 @ A1, A2 @ b1 + b2
 
 
+@_full_precision
 def solve_lower_assoc(t, c, U, W, Y):
     N, J = U.shape
     phi = transport(t, c)
@@ -141,8 +278,8 @@ def solve_lower_assoc(t, c, U, W, Y):
         [jnp.zeros((1, J, Y.shape[1]), Y.dtype), b_body], axis=0
     )
     with jax.default_matmul_precision("highest"):
-        A_pref, b_pref = lax.associative_scan(
-            _mat_affine_combine, (A, b)
+        A_pref, b_pref = _engine_scan(
+            _mat_affine_combine, (A, b), _id_affine
         )
     F_post = b_pref  # applied to F_init = 0
     Z = Y - jnp.einsum("nj,njk->nk", U, F_post)
@@ -155,6 +292,7 @@ def solve_lower_assoc(t, c, U, W, Y):
     return Z, F_pre
 
 
+@_full_precision
 def solve_upper_assoc(t, c, U, W, Y):
     N, J = U.shape
     phi = transport_up(t, c)
@@ -171,8 +309,8 @@ def solve_upper_assoc(t, c, U, W, Y):
     )
 
     with jax.default_matmul_precision("highest"):
-        A_pref, b_pref = lax.associative_scan(
-            _mat_affine_combine, (A, b), reverse=True
+        A_pref, b_pref = _engine_scan(
+            _mat_affine_combine, (A, b), _id_affine, reverse=True
         )
     F_post = b_pref
     Z = Y - jnp.einsum("nj,njk->nk", W, F_post)
@@ -192,35 +330,58 @@ def _mT(x):
     return jnp.swapaxes(x, -1, -2)
 
 
-def _small_solve(M, B):
-    """Batched J x J linear solve via Gauss-Jordan with partial pivoting.
+def _small_inv(M):
+    """Batched closed-form inverse of a J x J matrix (J = 1, 2, or a
+    power of two via 2x2-block Schur recursion; other J are bordered).
 
-    TPU-native: only elementwise ops, selects and tiny matmuls — works in
-    f64 on TPU (XLA's LuDecomposition custom call is f32-only there) and
-    fuses well.  J is static and small (<= 32), so the Python loop
-    unrolls at trace time.
+    No pivoting / argmax: the pivoted Gauss-Jordan fallback makes the
+    TPU XLA pipeline's compile time explode (minutes at N=1e3).  The
+    matrices inverted here are ``I + Q R`` Riccati Gram combinations,
+    which are far from singular for valid (positive-definite) systems.
     """
     J = M.shape[-1]
-    A = jnp.concatenate([M, B], axis=-1)  # (..., J, J+Kb)
-    rows = jnp.arange(J)
+    if J == 1:
+        return 1.0 / M
+    if J == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - b * c
+        inv = jnp.stack(
+            [
+                jnp.stack([d, -b], axis=-1),
+                jnp.stack([-c, a], axis=-1),
+            ],
+            axis=-2,
+        )
+        return inv / det[..., None, None]
+    if J % 2:
+        # border to even size with an identity block (exact)
+        pad = [(0, 0)] * (M.ndim - 2) + [(0, 1), (0, 1)]
+        Mp = jnp.pad(M, pad)
+        eye_fix = jnp.zeros_like(Mp).at[..., J, J].set(1.0)
+        return _small_inv(Mp + eye_fix)[..., :J, :J]
+    h = J // 2
+    A = M[..., :h, :h]
+    B = M[..., :h, h:]
+    C = M[..., h:, :h]
+    D = M[..., h:, h:]
+    Ai = _small_inv(A)
+    AiB = Ai @ B
+    Si = _small_inv(D - C @ AiB)
+    CAi = C @ Ai
+    TL = Ai + AiB @ Si @ CAi
+    TR = -AiB @ Si
+    BL = -Si @ CAi
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
 
-    for k in range(J):
-        # partial pivot: swap row k with argmax |A[:, k]| among rows >= k
-        col = jnp.abs(A[..., :, k])
-        piv = jnp.argmax(jnp.where(rows >= k, col, -jnp.inf), axis=-1)
-        onehot_p = rows == piv[..., None]  # (..., J)
-        onehot_k = rows == k  # (J,)
-        row_p = jnp.sum(jnp.where(onehot_p[..., None], A, 0.0), axis=-2)
-        row_k = A[..., k, :]
-        A = jnp.where(onehot_k[:, None], row_p[..., None, :], A)
-        A = jnp.where(onehot_p[..., None], row_k[..., None, :], A)
-        # normalize pivot row, then eliminate it from all other rows
-        pivval = A[..., k, k][..., None, None]
-        A = jnp.where(onehot_k[:, None], A / pivval, A)
-        factors = A[..., :, k][..., None]
-        elim = jnp.where(onehot_k[:, None], 0.0, factors)
-        A = A - elim * A[..., k:k + 1, :]
-    return A[..., J:]
+
+def _small_solve(M, B):
+    """Batched J x J solve via the closed-form inverse (see _small_inv)."""
+    return _small_inv(M) @ B
 
 
 def _riccati_combine(e1, e2):
@@ -243,6 +404,7 @@ def _riccati_combine(e1, e2):
     return A12, Q12, R12
 
 
+@_full_precision
 def factor_assoc(t, c, a, U, V):
     """Associative-scan LDL^T.  Returns ``(d, W, S_half)`` identical to
     :func:`celerite2_tpu.ops.scan.factor_scan`."""
@@ -272,7 +434,9 @@ def factor_assoc(t, c, a, U, V):
     # TPU f32 matmuls default to bf16 on the MXU; 1e5 Riccati
     # compositions need full precision or pivots go negative
     with jax.default_matmul_precision("highest"):
-        _, S_full, _ = lax.associative_scan(_riccati_combine, (A, Q, R))
+        _, S_full, _ = _engine_scan(
+            _riccati_combine, (A, Q, R), _id_riccati
+        )
     # S applied to S_init = 0 is just the combined Q
     d = a - jnp.einsum("nj,njk,nk->n", U, S_full, U)
     W = (V - jnp.einsum("njk,nk->nj", S_full, U)) / _safe(d)[:, None]
@@ -303,12 +467,13 @@ def factor_assoc(t, c, a, U, V):
 # step map to the J^2 basis matrices — bug-resistant and exact.
 
 
-def _suffix_states(elems, combine, *, reverse):
+def _suffix_states(elems, combine, identity, *, reverse):
     """Inclusive prefix/suffix composition results for affine elements."""
     with jax.default_matmul_precision("highest"):
-        return lax.associative_scan(combine, elems, reverse=reverse)
+        return _engine_scan(combine, elems, identity, reverse=reverse)
 
 
+@_full_precision
 def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
     """Associative-scan twin of scan.sweep_rev_scan (same outputs)."""
     N, J = A.shape
@@ -347,7 +512,8 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
         )
         bvec = -p[:, :, None] * jnp.einsum("nj,nk->njk", An, bZn)
         _, R = _suffix_states(
-            (Amat, bvec), _mat_affine_combine, reverse=not upper
+            (Amat, bvec), _mat_affine_combine, _id_affine,
+            reverse=not upper
         )  # applied to zero init
     else:
         alpha = jnp.broadcast_to(p[:, :, None], (p.shape[0], J, K))
@@ -361,7 +527,7 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
             return a2 * a1, a2 * b1 + b2
 
         _, R = _suffix_states(
-            (alpha, beta), diag_combine, reverse=not upper
+            (alpha, beta), diag_combine, _id_diag, reverse=not upper
         )
 
     # carry entering step n: the state AFTER the neighbouring step
@@ -415,6 +581,7 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
     return bt, bc, bA, bB, bY
 
 
+@_full_precision
 def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     """Associative-scan twin of scan.factor_rev_scan (same outputs).
 
@@ -469,7 +636,8 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     # keep the affine constant as a column matrix so the batched
     # matmul in the combine contracts correctly
     _, R = _suffix_states(
-        (L, Cv[..., None]), _mat_affine_combine, reverse=True
+        (L, Cv[..., None]), _mat_affine_combine, _id_affine,
+        reverse=True
     )
     R = R.reshape(-1, J, J)  # bS after each step (applied to zero init)
 

@@ -1,24 +1,33 @@
 """Backend dispatch for the semiseparable ops.
 
-Three regimes matter on TPU:
+Measured regimes (v5e, N=1e5, J=2, f32, loglik+grad):
 
-* **Heavily batched** (e.g. thousands of vmapped NUTS chains): the plain
-  ``lax.scan`` recursions are best — every sequential step carries a full
-  batch of (J,)/(J,J) work, so the chip stays busy and no parallel-scan
-  overhead is paid.
-* **Single / few large-N evaluations on TPU**: XLA's while-loop costs
-  ~2.5 us/row (measured, v5e), so the Pallas blockwise kernels win by
-  ~two orders of magnitude.
-* **Large-N on CPU/GPU**: the log-depth associative-scan formulations.
-  (XLA:TPU compiles those pathologically slowly — minutes at N=1e3 —
-  so "auto" never selects assoc on TPU.)
+* **"scan"** — plain ``lax.scan``, ~2.1 s/eval on TPU (the faithful
+  port of the reference's sequential algorithm).  Still the right tier
+  for heavily vmapped work (thousands of NUTS chains) and small N.
+* **"assoc"** — the parallel-composition formulations, ~66 ms/eval on
+  TPU.  Internally picks an engine: ``two_level_prefix`` (sqrt(N)-
+  blocked plain scans) on TPU, where ``lax.associative_scan`` takes
+  minutes to *compile*; the true log-depth associative scan elsewhere.
+* **"pallas"** — hand-written sequential Mosaic kernels, ~170 ms/eval.
+  Strictly per-row recursions are latency-bound at ~500+ cycles/row on
+  TPU whenever a reduction sits on the carried dependency (measured:
+  rolls and cross-lane reductions each cost ~100-600 cycles of carried
+  latency), which is why the batched-across-blocks assoc tier wins.
+  Kept as an explicit backend and as the wide-J reverse fallback.
 
-``Config.backend`` picks explicitly; "auto" uses N and the platform.
-The Pallas kernels keep their carry in VMEM scratch across sequential
-grid steps, which is incompatible with vmap's batch-axis-prepends-grid
-rule — each pallas entry point is therefore wrapped in
-``jax.custom_batching.custom_vmap`` whose batch rule falls back to the
-vmapped ``lax.scan`` tier (the right algorithm for batched work anyway).
+``Config.backend`` picks explicitly; "auto" = assoc above
+``assoc_threshold`` rows, else scan.  Pallas kernels keep carries in
+VMEM scratch across sequential grid steps, which is incompatible with
+vmap's batch-axis-prepends-grid rule — every pallas entry point is
+wrapped in ``jax.custom_batching.custom_vmap`` whose batch rule falls
+back to the vmapped ``lax.scan`` tier.
+
+Cache pairing: the factor cache convention differs between the packed
+(pre-transport symmetric, packed (N, Jp^2)) and tiled/scan/assoc tiers
+(one-sided transported (N, J, J)); forward and reverse always route by
+the same (platform, N, J, K), so a custom_vjp residual is produced and
+consumed by a compatible tier.
 """
 
 from __future__ import annotations
@@ -30,6 +39,23 @@ import jax
 from celerite2_tpu.config import get_config
 from celerite2_tpu.ops import scan as _scan
 
+_SCAN_TWIN = {
+    "factor_pallas": "factor_scan",
+    "solve_lower_pallas": "solve_lower_scan",
+    "solve_upper_pallas": "solve_upper_scan",
+    "matmul_lower_pallas": "matmul_lower_scan",
+    "matmul_upper_pallas": "matmul_upper_scan",
+    "factor_rev_pallas": "factor_rev_scan",
+    "sweep_rev_pallas": "sweep_rev_scan",
+    "factor_packed": "factor_scan",
+    "solve_lower_packed": "solve_lower_scan",
+    "solve_upper_packed": "solve_upper_scan",
+    "matmul_lower_packed": "matmul_lower_scan",
+    "matmul_upper_packed": "matmul_upper_scan",
+    "factor_rev_packed": "factor_rev_scan",
+    "sweep_rev_packed": "sweep_rev_scan",
+}
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -39,8 +65,8 @@ def _backend(n: int) -> str:
     cfg = get_config()
     if cfg.backend != "auto":
         return cfg.backend
-    if _on_tpu():
-        return "pallas" if n >= cfg.pallas_threshold else "scan"
+    # the assoc tier picks a platform-appropriate engine internally
+    # (two-level blocked scan on TPU, lax.associative_scan elsewhere)
     return "assoc" if n >= cfg.assoc_threshold else "scan"
 
 
@@ -51,28 +77,69 @@ def _batch_rule(scan_fn, axis_size, in_batched, *args):
     return out, out_batched
 
 
+def _factor_packed_rule(scan_fn, axis_size, in_batched, t, c, a, U, V):
+    """Scan fallback for the packed factor: reproduce its (Sh, ShT)
+    packed cache pair from the scan tier's S_half by pad + transpose."""
+    import jax.numpy as jnp
+
+    from celerite2_tpu.ops import pallas_packed as pp
+
+    in_axes = tuple(0 if b else None for b in in_batched)
+    d, W, S_half = jax.vmap(scan_fn, in_axes=in_axes)(t, c, a, U, V)
+    J = U.shape[-1]
+    Jp = pp._pow2_width(J)
+    pad = Jp - J
+    Sp = jnp.pad(S_half, ((0, 0), (0, 0), (0, pad), (0, pad)))
+    b, n = Sp.shape[:2]
+    Sh = Sp.reshape(b, n, Jp * Jp)
+    ShT = jnp.swapaxes(Sp, -1, -2).reshape(b, n, Jp * Jp)
+    return (d, W, (Sh, ShT)), (True, True, (True, True))
+
+
+def _factor_rev_packed_rule(scan_fn, axis_size, in_batched,
+                            t, c, a, U, V, d, W, S_pair, bd, bW):
+    from celerite2_tpu.ops import pallas_packed as pp
+
+    Sh_pack, _ = S_pair
+    J = U.shape[-1]
+    Jp = pp._pow2_width(J)
+    shp = Sh_pack.shape
+    S_std = Sh_pack.reshape(*shp[:-1], Jp, Jp)[..., :J, :J]
+    args = (t, c, a, U, V, d, W, S_std, bd, bW)
+    flat_batched = (
+        tuple(in_batched[:7])
+        + (in_batched[7][0],)
+        + tuple(in_batched[8:])
+    )
+    in_axes = tuple(0 if b else None for b in flat_batched)
+    out = jax.vmap(scan_fn, in_axes=in_axes)(*args)
+    return out, jax.tree_util.tree_map(lambda _: True, out)
+
+
 @functools.cache
 def _pallas_cv(name: str, block_size: int, **flags):
     """custom_vmap wrapper: pallas on the direct path, vmapped scan on
-    any batched path."""
+    any batched path.  The packed factor's cache pair differs from the
+    scan tier's S_half, so its rules convert; residuals stay consistent
+    because the vjp forward and backward route identically."""
     from celerite2_tpu.ops import pallas_kernels as pk
+    from celerite2_tpu.ops import pallas_packed as pp
 
+    mod = pp if name.endswith("_packed") else pk
     pallas_fn = functools.partial(
-        getattr(pk, name), block_size=block_size, **flags
+        getattr(mod, name), block_size=block_size, **flags
     )
-    scan_name = {
-        "factor_pallas": "factor_scan",
-        "solve_lower_pallas": "solve_lower_scan",
-        "solve_upper_pallas": "solve_upper_scan",
-        "matmul_lower_pallas": "matmul_lower_scan",
-        "matmul_upper_pallas": "matmul_upper_scan",
-        "factor_rev_pallas": "factor_rev_scan",
-        "sweep_rev_pallas": "sweep_rev_scan",
-    }[name]
-    scan_fn = functools.partial(getattr(_scan, scan_name), **flags)
+    scan_fn = functools.partial(
+        getattr(_scan, _SCAN_TWIN[name]), **flags
+    )
 
     cv = jax.custom_batching.custom_vmap(pallas_fn)
-    cv.def_vmap(functools.partial(_batch_rule, scan_fn))
+    if name == "factor_packed":
+        cv.def_vmap(functools.partial(_factor_packed_rule, scan_fn))
+    elif name == "factor_rev_packed":
+        cv.def_vmap(functools.partial(_factor_rev_packed_rule, scan_fn))
+    else:
+        cv.def_vmap(functools.partial(_batch_rule, scan_fn))
     return cv
 
 
@@ -80,10 +147,17 @@ def _pallas(name: str, **flags):
     return _pallas_cv(name, get_config().block_size, **flags)
 
 
+def _packable(j: int, k: int | None = None) -> bool:
+    from celerite2_tpu.ops import pallas_packed as pp
+
+    return pp.packable(j, k)
+
+
 def factor_impl(t, c, a, U, V):
     b = _backend(t.shape[0])
     if b == "pallas":
-        return _pallas("factor_pallas")(t, c, a, U, V)
+        name = "factor_packed" if _packable(U.shape[1]) else "factor_pallas"
+        return _pallas(name)(t, c, a, U, V)
     if b == "assoc":
         from celerite2_tpu.ops import assoc as _assoc
 
@@ -91,48 +165,33 @@ def factor_impl(t, c, a, U, V):
     return _scan.factor_scan(t, c, a, U, V)
 
 
-def solve_lower_impl(t, c, U, W, Y):
-    b = _backend(t.shape[0])
-    if b == "pallas":
-        return _pallas("solve_lower_pallas")(t, c, U, W, Y)
-    if b == "assoc":
+def _sweep_fwd(op: str, t, c, A, B, Y):
+    bk = _backend(t.shape[0])
+    if bk == "pallas":
+        packed = _packable(A.shape[1], Y.shape[1])
+        name = f"{op}_packed" if packed else f"{op}_pallas"
+        return _pallas(name)(t, c, A, B, Y)
+    if bk == "assoc":
         from celerite2_tpu.ops import assoc as _assoc
 
-        return _assoc.solve_lower_assoc(t, c, U, W, Y)
-    return _scan.solve_lower_scan(t, c, U, W, Y)
+        return getattr(_assoc, f"{op}_assoc")(t, c, A, B, Y)
+    return getattr(_scan, f"{op}_scan")(t, c, A, B, Y)
+
+
+def solve_lower_impl(t, c, U, W, Y):
+    return _sweep_fwd("solve_lower", t, c, U, W, Y)
 
 
 def solve_upper_impl(t, c, U, W, Y):
-    b = _backend(t.shape[0])
-    if b == "pallas":
-        return _pallas("solve_upper_pallas")(t, c, U, W, Y)
-    if b == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
-
-        return _assoc.solve_upper_assoc(t, c, U, W, Y)
-    return _scan.solve_upper_scan(t, c, U, W, Y)
+    return _sweep_fwd("solve_upper", t, c, U, W, Y)
 
 
 def matmul_lower_impl(t, c, U, V, Y):
-    b = _backend(t.shape[0])
-    if b == "pallas":
-        return _pallas("matmul_lower_pallas")(t, c, U, V, Y)
-    if b == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
-
-        return _assoc.matmul_lower_assoc(t, c, U, V, Y)
-    return _scan.matmul_lower_scan(t, c, U, V, Y)
+    return _sweep_fwd("matmul_lower", t, c, U, V, Y)
 
 
 def matmul_upper_impl(t, c, U, V, Y):
-    b = _backend(t.shape[0])
-    if b == "pallas":
-        return _pallas("matmul_upper_pallas")(t, c, U, V, Y)
-    if b == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
-
-        return _assoc.matmul_upper_assoc(t, c, U, V, Y)
-    return _scan.matmul_upper_scan(t, c, U, V, Y)
+    return _sweep_fwd("matmul_upper", t, c, U, V, Y)
 
 
 # ------------------------------------------------------ reverse sweeps
@@ -141,22 +200,38 @@ def matmul_upper_impl(t, c, U, V, Y):
 def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
     b = _backend(t.shape[0])
     if b == "pallas":
-        return _pallas("factor_rev_pallas")(t, c, a, U, V, d, W, S, bd, bW)
+        name = (
+            "factor_rev_packed"
+            if _packable(U.shape[1])
+            else "factor_rev_pallas"
+        )
+        return _pallas(name)(t, c, a, U, V, d, W, S, bd, bW)
     # the J^2-dim affine elements cost O(N J^4) memory; only worth it
     # (and affordable) for small J where latency dominates
-    if b == "assoc" and U.shape[1] <= 4:
-        from celerite2_tpu.ops import assoc as _assoc
+    if b == "assoc":
+        if U.shape[1] <= 4:
+            from celerite2_tpu.ops import assoc as _assoc
 
-        return _assoc.factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW)
+            return _assoc.factor_rev_assoc(
+                t, c, a, U, V, d, W, S, bd, bW
+            )
+        if _on_tpu():
+            # wide J on TPU: the sequential scan costs seconds; the
+            # tiled pallas kernel shares the standard cache convention
+            return _pallas("factor_rev_pallas")(
+                t, c, a, U, V, d, W, S, bd, bW
+            )
     return _scan.factor_rev_scan(t, c, a, U, V, d, W, S, bd, bW)
 
 
 def sweep_rev_impl(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
     b = _backend(t.shape[0])
     if b == "pallas":
-        return _pallas(
-            "sweep_rev_pallas", is_solve=is_solve, upper=upper
-        )(t, c, A, B, Y, Z, F, bZ)
+        packed = _packable(A.shape[1], Y.shape[1])
+        name = "sweep_rev_packed" if packed else "sweep_rev_pallas"
+        return _pallas(name, is_solve=is_solve, upper=upper)(
+            t, c, A, B, Y, Z, F, bZ
+        )
     if b == "assoc":
         from celerite2_tpu.ops import assoc as _assoc
 

@@ -250,10 +250,14 @@ def make_sharded_logdensity(
     function is jit/grad-compatible and replicated in theta.
     """
     from jax import shard_map
+    import numpy as np
 
-    t = jnp.asarray(t)
-    y = jnp.asarray(y)
-    yerr = jnp.broadcast_to(jnp.asarray(yerr), t.shape)
+    # numpy (not device) arrays: the returned closure is jitted by the
+    # caller, and concrete closure values must become HLO literals —
+    # device-array constants cost ~40 ms/call on the axon TPU runtime
+    t = np.asarray(t)
+    y = np.asarray(y)
+    yerr = np.broadcast_to(np.asarray(yerr), t.shape)
 
     seq_spec = P(seq_axis)
     rep = P()

@@ -64,3 +64,35 @@ def test_sweep_rev_assoc_matches_scan(sys50, is_solve, upper):
         np.testing.assert_allclose(
             x2, x1, rtol=1e-8, atol=1e-10, err_msg=name
         )
+
+
+def test_two_level_prefix_matches_associative_scan():
+    """The sqrt(N)-blocked engine must agree with lax.associative_scan
+    for a non-commutative monoid, both directions, padded sizes."""
+    import jax
+    from jax import lax
+    from celerite2_tpu.ops.assoc import (
+        _id_affine,
+        _mat_affine_combine,
+        two_level_prefix,
+    )
+
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 17, 100, 257):
+        A = jnp.asarray(
+            np.eye(3) + 0.1 * rng.normal(size=(n, 3, 3))
+        )
+        b = jnp.asarray(rng.normal(size=(n, 3, 2)))
+        for reverse in (False, True):
+            ref = lax.associative_scan(
+                _mat_affine_combine, (A, b), reverse=reverse
+            )
+            out = two_level_prefix(
+                _mat_affine_combine, (A, b), _id_affine,
+                reverse=reverse,
+            )
+            for r, o in zip(ref, out):
+                np.testing.assert_allclose(
+                    o, r, rtol=1e-12, atol=1e-13,
+                    err_msg=f"n={n} reverse={reverse}",
+                )

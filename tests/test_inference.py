@@ -43,17 +43,17 @@ def test_nuts_gaussian(gaussian_target):
         logp,
         jnp.zeros(3),
         jax.random.PRNGKey(0),
-        num_warmup=500,
-        num_samples=500,
+        num_warmup=400,
+        num_samples=400,
         num_chains=4,
     )
     s = summary(res.samples)
-    np.testing.assert_allclose(np.asarray(s["mean"]), mu, atol=0.25)
+    np.testing.assert_allclose(np.asarray(s["mean"]), mu, atol=0.3)
     np.testing.assert_allclose(
-        np.asarray(s["sd"]), np.sqrt(np.diag(cov)), rtol=0.15
+        np.asarray(s["sd"]), np.sqrt(np.diag(cov)), rtol=0.2
     )
     assert np.all(np.asarray(s["rhat"]) < 1.05)
-    assert np.all(np.asarray(s["ess"]) > 200)
+    assert np.all(np.asarray(s["ess"]) > 150)
     assert float(jnp.mean(res.diverging)) < 0.01
 
 
@@ -109,7 +109,7 @@ def test_smc_gaussian(gaussian_target):
 def test_nuts_gp_hyperparameters():
     """Config-1 scenario: recover SHOTerm hyperparameters (SURVEY 7.3)."""
     rng = np.random.default_rng(1234)
-    N = 100
+    N = 64
     t = np.sort(rng.uniform(0, 20, N))
     yerr = np.full(N, 0.3)
     true = dict(sigma=1.2, rho=4.0, tau=3.0)
@@ -134,10 +134,10 @@ def test_nuts_gp_hyperparameters():
         logpost,
         init,
         jax.random.PRNGKey(3),
-        num_warmup=400,
-        num_samples=400,
+        num_warmup=300,
+        num_samples=300,
         num_chains=4,
-        max_depth=8,
+        max_depth=7,
     )
     assert np.all(np.asarray(split_rhat(res.samples)) < 1.1)
     q = np.exp(np.asarray(res.samples).reshape(-1, 3))

@@ -404,3 +404,11 @@ class GaussianProcess:
         from celerite2_tpu.distributions import CeleriteNormal
 
         return CeleriteNormal(self)
+
+    @property
+    def citations(self):
+        """BibTeX for the celerite method papers (reference
+        pymc/celerite2.py:74-80, citation.py)."""
+        from celerite2_tpu.citation import CITATION_KEYS, get_citations
+
+        return CITATION_KEYS, get_citations()

@@ -1,4 +1,8 @@
-"""Shared test fixtures (role of reference python/celerite2/testing.py)."""
+"""Shared test fixtures and cross-backend comparators (role of
+reference python/celerite2/testing.py: get_matrices:10-49,
+check_tensor_term:71-180, check_gp_models:183-201).  Where the
+reference compares NumPy/JAX/PyMC backends, this framework compares its
+op-implementation tiers (scan / assoc / pallas) against each other."""
 
 from __future__ import annotations
 
@@ -55,3 +59,88 @@ def get_matrices(
             out.append(np.asarray(kernel.get_value(tau)))
 
     return tuple(out)
+
+
+def check_term(term, ref_term, x=None, tau=None, omega=None, atol=1e-8):
+    """Compare two Term implementations over the full term surface
+    (coefficient matrices, kernel values, PSD, dense matmul) — the
+    analogue of the reference's cross-backend ``check_tensor_term``
+    (testing.py:71-180)."""
+    import jax.numpy as jnp
+
+    random = np.random.default_rng(40582)
+    if x is None:
+        x = np.sort(random.uniform(0, 10, 50))
+    if tau is None:
+        tau = x[:, None] - x[None, :]
+    if omega is None:
+        omega = np.linspace(-10, 10, 100)
+    diag = random.uniform(0.1, 0.4, len(x))
+
+    np.testing.assert_allclose(
+        np.asarray(term.get_value(tau)),
+        np.asarray(ref_term.get_value(tau)),
+        atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(term.get_psd(omega)),
+        np.asarray(ref_term.get_psd(omega)),
+        atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(term.to_dense(x, diag)),
+        np.asarray(ref_term.to_dense(x, diag)),
+        atol=atol,
+    )
+    y = random.normal(size=(len(x), 3))
+    np.testing.assert_allclose(
+        np.asarray(term.dot(x, diag, y)),
+        np.asarray(ref_term.dot(x, diag, y)),
+        atol=atol,
+    )
+    del jnp
+
+
+def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
+                      atol=1e-8):
+    """Full GP-surface parity across op backends (analogue of the
+    reference's ``check_gp_models``, testing.py:183-201)."""
+    import jax
+    import jax.numpy as jnp
+
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.config import set_config
+
+    random = np.random.default_rng(1986)
+    t = np.sort(random.uniform(0, 10, size))
+    yerr = random.uniform(0.1, 0.3, size)
+    y = np.sin(t) + yerr * random.normal(size=size)
+    t_new = np.linspace(-1, 11, 60)
+
+    results = {}
+    try:
+        for backend in backends:
+            set_config(backend=backend, assoc_threshold=1)
+            gp = GaussianProcess(kernel, t=t, yerr=yerr)
+            cond = gp.condition(y, t=t_new)
+            results[backend] = dict(
+                loglike=np.asarray(gp.log_likelihood(y)),
+                mean=np.asarray(cond.mean),
+                variance=np.asarray(cond.variance),
+                sample=np.asarray(
+                    gp.sample(jax.random.PRNGKey(0), size=2)
+                ),
+                apply_inverse=np.asarray(gp.apply_inverse(y)),
+            )
+    finally:
+        set_config(backend="auto", assoc_threshold=2048)
+
+    ref = results[backends[0]]
+    for backend in backends[1:]:
+        for name, val in results[backend].items():
+            np.testing.assert_allclose(
+                val, ref[name], atol=atol,
+                err_msg=f"{backend} vs {backends[0]}: {name}",
+            )
+    del jnp
+    return results

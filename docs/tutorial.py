@@ -1,0 +1,92 @@
+"""Runnable version of docs/tutorial.md (small sizes so it finishes in
+about a minute on CPU; raise N / chain counts on TPU).
+
+    python docs/tutorial.py
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import celerite2_tpu as c2
+from celerite2_tpu import terms
+from celerite2_tpu.gp import gp_compute, gp_log_likelihood
+from celerite2_tpu.inference import fit_map, run_nuts, summary
+
+# ------------------------------------------------- 1. simulated data
+rng = np.random.default_rng(42)
+N = 300
+t = np.sort(rng.uniform(0, 10, N))
+yerr = rng.uniform(0.08, 0.22, N)
+y = (
+    0.2 * (t - 5.0)
+    + np.sin(3.0 * t + 0.1 * (t - 5.0) ** 2)
+    + yerr * rng.normal(size=N)
+)
+true_t = np.linspace(0, 10, 100)
+
+
+# ------------------------------------------------ 2. a celerite model
+def build_kernel(params):
+    term1 = terms.SHOTerm(
+        sigma=jnp.exp(params[0]), rho=jnp.exp(params[1]), Q=0.25
+    )
+    term2 = terms.SHOTerm(
+        sigma=jnp.exp(params[2]),
+        rho=jnp.exp(params[3]),
+        tau=jnp.exp(params[4]),
+    )
+    return term1 + term2
+
+
+p0 = jnp.zeros(5)
+gp = c2.GaussianProcess(build_kernel(p0), t=t, yerr=yerr)
+print("initial log likelihood:", float(gp.log_likelihood(y)))
+
+
+def neg_log_likelihood(params, t, yerr, y):
+    state = gp_compute(build_kernel(params), t, yerr=yerr)
+    return -gp_log_likelihood(state, y)
+
+
+def log_posterior(params):
+    prior = -0.5 * jnp.sum((params / 5.0) ** 2)
+    return -neg_log_likelihood(params, t, yerr, y) + prior
+
+
+# ----------------------------------------------------- 3. MAP fit
+res = fit_map(log_posterior, p0, num_steps=200)
+print("MAP params:", np.asarray(res.params))
+print("MAP log prob:", float(res.log_prob))
+
+# ------------------------------------------------- 4. NUTS posterior
+post = run_nuts(
+    log_posterior,
+    res.params,
+    jax.random.PRNGKey(0),
+    num_warmup=300,
+    num_samples=300,
+    num_chains=2,
+)
+s = summary(post.samples)
+print("posterior mean:", np.asarray(s["mean"]))
+print("posterior sd:  ", np.asarray(s["sd"]))
+print("R-hat:         ", np.asarray(s["rhat"]))
+print("divergence rate:", float(post.diverging.mean()))
+
+# -------------------------------------------------- 5. prediction
+gp = c2.GaussianProcess(build_kernel(res.params), t=t, yerr=yerr)
+mu, var = gp.predict(y, t=true_t, return_var=True)
+print("predictive mean range:", float(mu.min()), float(mu.max()))
+
+kernel2 = terms.SHOTerm(
+    sigma=jnp.exp(res.params[2]),
+    rho=jnp.exp(res.params[3]),
+    tau=jnp.exp(res.params[4]),
+)
+mu2 = gp.predict(y, t=true_t, kernel=kernel2)
+print("component mean range: ", float(mu2.min()), float(mu2.max()))
+
+keys, bibtex = gp.citations
+print("cite:", ", ".join(keys))

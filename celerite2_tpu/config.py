@@ -49,7 +49,7 @@ class Config:
 
     backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"
     block_size: int = 1024
-    assoc_threshold: int = 2048
+    assoc_threshold: int = 1024
     pallas_threshold: int = 512
 
 

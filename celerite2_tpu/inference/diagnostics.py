@@ -7,6 +7,7 @@ can stream ESS/R-hat without leaving the device (SURVEY.md section 5.5).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["split_rhat", "effective_sample_size", "summary"]
@@ -45,7 +46,10 @@ def _autocov(x, max_lag):
 def effective_sample_size(samples, *, max_lag=None):
     """Bulk ESS via Geyer's initial monotone sequence.
     ``samples (C, N, dim)`` -> ``(dim,)``."""
-    x = _split_chains(jnp.asarray(samples, jnp.float64))
+    acc_dtype = (
+        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    )
+    x = _split_chains(jnp.asarray(samples, acc_dtype))
     C, N, dim = x.shape
     if max_lag is None:
         max_lag = min(N - 1, 1000)
@@ -71,7 +75,9 @@ def effective_sample_size(samples, *, max_lag=None):
         jnp.where(keep, pair, 0.0), axis=0
     )
     tau = -1.0 + 2.0 * jnp.sum(pair, axis=0)
-    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(C * N, jnp.float64)))
+    tau = jnp.maximum(
+        tau, 1.0 / jnp.log10(jnp.asarray(C * N, acc_dtype))
+    )
     return C * N / tau
 
 

@@ -84,26 +84,49 @@ __all__ = [
 #     ~500+ cycles/row whenever a reduction sits on the carried path.
 
 
-def two_level_prefix(combine, elems, identity, *, reverse=False):
-    """Inclusive prefix composition of ``elems`` along axis 0.
+DEFAULT_ENGINE_BLOCK = 64
+
+
+def two_level_prefix(combine, elems, identity, *, reverse=False,
+                     block=None):
+    """Inclusive prefix composition of ``elems`` along axis 0 via a
+    recursive blocked scheme.
 
     ``combine(earlier, later)`` must be associative and batch over
     leading dims; ``identity(elems)`` returns the monoid identity as a
     pytree matching one element with leading dim 1 (used for padding
     and initial carries).
+
+    Level structure: compose within length-``block`` blocks with one
+    ``lax.scan`` whose every step is batched over ALL blocks, recurse
+    on the ~N/block block maps, then one batched combine distributes
+    the (exclusive) block prefixes to every row.  Sequential steps
+    total ~block * log_block(N); work ~2N combines per level.
     """
+    if block is None:
+        block = DEFAULT_ENGINE_BLOCK
     if reverse:
         flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
-        out = two_level_prefix(combine, flipped, identity)
+        out = two_level_prefix(combine, flipped, identity, block=block)
         return jax.tree_util.tree_map(lambda x: x[::-1], out)
 
     leaves = jax.tree_util.tree_leaves(elems)
     N = leaves[0].shape[0]
-    L = max(1, int(math.ceil(math.sqrt(N))))
+    ident = identity(elems)
+    id_one = jax.tree_util.tree_map(lambda x: x[0], ident)
+
+    def step(acc, el):
+        new = combine(acc, el)
+        return new, new
+
+    if N <= block:
+        # leaf: plain sequential prefix
+        _, pref = lax.scan(step, id_one, elems)
+        return pref
+
+    L = block
     NB = -(-N // L)
     pad = L * NB - N
-
-    ident = identity(elems)
     if pad:
         elems = jax.tree_util.tree_map(
             lambda x, i: jnp.concatenate(
@@ -124,19 +147,16 @@ def two_level_prefix(combine, elems, identity, *, reverse=False):
         ident,
     )
 
-    def step(acc, el):
-        new = combine(acc, el)
-        return new, new
-
     _, prefixes = lax.scan(step, id_block, elems_lm)
 
     block_maps = jax.tree_util.tree_map(lambda p: p[-1], prefixes)
-
-    def chain(acc, bm):
-        return combine(acc, bm), acc  # emit the EXCLUSIVE prefix
-
-    id_one = jax.tree_util.tree_map(lambda x: x[0], ident)
-    _, excl = lax.scan(chain, id_one, block_maps)
+    incl = two_level_prefix(combine, block_maps, identity, block=block)
+    # exclusive block prefixes: shift right, identity first
+    excl = jax.tree_util.tree_map(
+        lambda inc, i: jnp.concatenate([i, inc[:-1]], axis=0),
+        incl,
+        ident,
+    )
 
     # distribute: row (l, b) = combine(excl_b, prefix_{l, b})
     excl_b = jax.tree_util.tree_map(
@@ -224,7 +244,7 @@ def matmul_lower_assoc(t, c, U, V, Y):
     F_post = _diag_affine_scan(
         jnp.broadcast_to(alpha, G.shape), beta
     )
-    Z = jnp.einsum("nj,njk->nk", U, F_post)
+    Z = jnp.sum(U[:, :, None] * F_post, axis=1)
     # pre-transport cache (reference workspace convention)
     F_pre = (
         jnp.concatenate([jnp.zeros_like(F_post[:1]), F_post[:-1]], axis=0)
@@ -243,7 +263,7 @@ def matmul_upper_assoc(t, c, U, V, Y):
     F_post = _diag_affine_scan(
         jnp.broadcast_to(alpha, G.shape), beta, reverse=True
     )
-    Z = jnp.einsum("nj,njk->nk", V, F_post)
+    Z = jnp.sum(V[:, :, None] * F_post, axis=1)
     F_pre = (
         jnp.concatenate([F_post[1:], jnp.zeros_like(F_post[:1])], axis=0)
         + G_next
@@ -254,11 +274,26 @@ def matmul_upper_assoc(t, c, U, V, Y):
 # ======================================================= dense affine
 
 
+def _bmm(A, B):
+    """Batched (..., n, m) @ (..., m, k) as broadcast-multiply-reduce.
+
+    XLA lowers batched *tiny* matmuls on TPU by padding each operand to
+    an MXU tile (measured ~40 us per (NB, 2, 2) dispatch inside a scan);
+    the fused elementwise form runs on the VPU at full utilization.
+    """
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def _bmv(A, x):
+    """Batched matrix-vector product (..., n, m) @ (..., m)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def _mat_affine_combine(e1, e2):
     """(A, b) composition for F' = A2 (A1 F + b1) + b2 (e1 earlier)."""
     A1, b1 = e1
     A2, b2 = e2
-    return A2 @ A1, A2 @ b1 + b2
+    return _bmm(A2, A1), _bmm(A2, b1) + b2
 
 
 @_full_precision
@@ -282,7 +317,7 @@ def solve_lower_assoc(t, c, U, W, Y):
             _mat_affine_combine, (A, b), _id_affine
         )
     F_post = b_pref  # applied to F_init = 0
-    Z = Y - jnp.einsum("nj,njk->nk", U, F_post)
+    Z = Y - jnp.sum(U[:, :, None] * F_post, axis=1)
     F_prev = jnp.concatenate(
         [jnp.zeros_like(F_post[:1]), F_post[:-1]], axis=0
     )
@@ -313,7 +348,7 @@ def solve_upper_assoc(t, c, U, W, Y):
             _mat_affine_combine, (A, b), _id_affine, reverse=True
         )
     F_post = b_pref
-    Z = Y - jnp.einsum("nj,njk->nk", W, F_post)
+    Z = Y - jnp.sum(W[:, :, None] * F_post, axis=1)
     F_next = jnp.concatenate(
         [F_post[1:], jnp.zeros_like(F_post[:1])], axis=0
     )
@@ -368,12 +403,13 @@ def _small_inv(M):
     C = M[..., h:, :h]
     D = M[..., h:, h:]
     Ai = _small_inv(A)
-    AiB = Ai @ B
-    Si = _small_inv(D - C @ AiB)
-    CAi = C @ Ai
-    TL = Ai + AiB @ Si @ CAi
-    TR = -AiB @ Si
-    BL = -Si @ CAi
+    AiB = _bmm(Ai, B)
+    Si = _small_inv(D - _bmm(C, AiB))
+    CAi = _bmm(C, Ai)
+    AiBSi = _bmm(AiB, Si)
+    TL = Ai + _bmm(AiBSi, CAi)
+    TR = -AiBSi
+    BL = -_bmm(Si, CAi)
     top = jnp.concatenate([TL, TR], axis=-1)
     bot = jnp.concatenate([BL, Si], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
@@ -381,7 +417,7 @@ def _small_inv(M):
 
 def _small_solve(M, B):
     """Batched J x J solve via the closed-form inverse (see _small_inv)."""
-    return _small_inv(M) @ B
+    return _bmm(_small_inv(M), B)
 
 
 def _riccati_combine(e1, e2):
@@ -391,13 +427,15 @@ def _riccati_combine(e1, e2):
     J = A1.shape[-1]
     I = jnp.eye(J, dtype=A1.dtype)
     # Gamma = (I + Q1 R2)^{-1}; R2 Gamma = (I + R2 Q1)^{-1} R2
-    GAQ = _small_solve(I + Q1 @ R2, jnp.concatenate([A1, Q1], axis=-1))
+    GAQ = _small_solve(
+        I + _bmm(Q1, R2), jnp.concatenate([A1, Q1], axis=-1)
+    )
     GA1 = GAQ[..., :J]
     GQ1 = GAQ[..., J:]
-    R2G = _small_solve(I + R2 @ Q1, R2)
-    A12 = A2 @ GA1
-    Q12 = Q2 + A2 @ GQ1 @ _mT(A2)
-    R12 = R1 + _mT(A1) @ R2G @ A1
+    R2G = _small_solve(I + _bmm(R2, Q1), R2)
+    A12 = _bmm(A2, GA1)
+    Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
+    R12 = R1 + _bmm(_bmm(_mT(A1), R2G), A1)
     # symmetrize to fight drift over long products
     Q12 = 0.5 * (Q12 + _mT(Q12))
     R12 = 0.5 * (R12 + _mT(R12))
@@ -438,8 +476,8 @@ def factor_assoc(t, c, a, U, V):
             _riccati_combine, (A, Q, R), _id_riccati
         )
     # S applied to S_init = 0 is just the combined Q
-    d = a - jnp.einsum("nj,njk,nk->n", U, S_full, U)
-    W = (V - jnp.einsum("njk,nk->nj", S_full, U)) / _safe(d)[:, None]
+    d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
+    W = (V - _bmv(S_full, U)) / _safe(d)[:, None]
 
     # one-sided cache: S_half_n = diag(phi_n)(S_full_{n-1} + d W W^T)
     S_prev = jnp.concatenate(
@@ -539,19 +577,19 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
 
     # effective bz (solves accumulate the deferred contribution)
     if is_solve:
-        bz_eff = bZn + jnp.einsum("njk,nj->nk", bF_in, Bn)
+        bz_eff = bZn + jnp.sum(bF_in * Bn[:, :, None], axis=1)
     else:
         bz_eff = bZn
 
     pF = p[:, :, None] * Fn
-    bA_steps = sign * jnp.einsum("njk,nk->nj", pF, bz_eff)
+    bA_steps = sign * _bmv(pF, bz_eff)
     mid = bF_in + sign * jnp.einsum("nj,nk->njk", An, bz_eff)
-    bp = jnp.einsum("njk,njk->nj", Fn, mid) * p
+    bp = jnp.sum(Fn * mid, axis=-1) * p
     bc = jnp.sum(bp * dt[:, None], axis=0)
     ft = bp @ c
     post = p[:, :, None] * mid  # == R at each step
-    dbB = jnp.einsum("njk,nk->nj", post, R_rows[sl_feed])
-    dbR = jnp.einsum("njk,nj->nk", post, Bfeed)
+    dbB = _bmv(post, R_rows[sl_feed])
+    dbR = jnp.sum(post * Bfeed[:, :, None], axis=1)
 
     # ---- assemble per-row outputs (same layout as the scan version)
     zJ = jnp.zeros((1, J), dtype)
@@ -609,8 +647,10 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     bdpn = bdp[1:]
 
     def mid_of(M, u_n, w_n, bv0_n, bdp_n):
-        bv = bv0_n + (M + M.T) @ w_n
-        ba = bdp_n - w_n @ (M @ w_n)
+        Mw = jnp.sum(M * w_n[None, :], axis=1)
+        MTw = jnp.sum(M * w_n[:, None], axis=0)
+        bv = bv0_n + Mw + MTw
+        ba = bdp_n - jnp.sum(w_n * Mw)
         return M - jnp.outer(u_n, bv) - ba * jnp.outer(u_n, u_n)
 
     def step_map(M, p_n, u_n, w_n, bv0_n, bdp_n):
@@ -644,13 +684,11 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     # carry entering step n = state after step n+1
     M_in = jnp.concatenate([R[1:], jnp.zeros((1, J, J), dtype)], axis=0)
 
-    bv = bv0n + jnp.einsum("njk,nk->nj", M_in + jnp.swapaxes(M_in, 1, 2), w)
-    ba = bdpn - jnp.einsum("nj,njk,nk->n", w, M_in, w)
+    bv = bv0n + _bmv(M_in + jnp.swapaxes(M_in, 1, 2), w)
+    ba = bdpn - jnp.sum(w * _bmv(M_in, w), axis=-1)
     S_half = S[1:]
     S_full = S_half * p[:, None, :]
-    bU_steps = -jnp.einsum(
-        "njk,nk->nj", S_full, bv + 2.0 * ba[:, None] * u
-    )
+    bU_steps = -_bmv(S_full, bv + 2.0 * ba[:, None] * u)
     mid = (
         M_in
         - jnp.einsum("nj,nk->njk", u, bv)

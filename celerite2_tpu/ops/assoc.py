@@ -112,7 +112,12 @@ def two_level_prefix(combine, elems, identity, *, reverse=False,
 
     leaves = jax.tree_util.tree_leaves(elems)
     N = leaves[0].shape[0]
-    ident = identity(elems)
+    # inherit the elements' device-varying-ness (shard_map's vma checks
+    # reject mixing replicated scan carries with varying inputs)
+    one = leaves[0].reshape(-1)[0] * 0 + 1
+    ident = jax.tree_util.tree_map(
+        lambda x: x * one, identity(elems)
+    )
     id_one = jax.tree_util.tree_map(lambda x: x[0], ident)
 
     def step(acc, el):

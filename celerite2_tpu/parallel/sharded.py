@@ -33,95 +33,19 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from celerite2_tpu.gp import LOG2PI
-from celerite2_tpu.ops.assoc import _riccati_combine
+from celerite2_tpu.ops.assoc import (
+    _bmm,
+    _bmv,
+    _engine_scan,
+    _id_affine,
+    _id_riccati,
+    _mat_affine_combine,
+    _riccati_combine,
+    _small_inv,
+)
 from celerite2_tpu.ops.scan import _safe
 
 __all__ = ["sharded_loglik", "make_sharded_logdensity"]
-
-
-def _local_riccati_block(phi, a_prev, u_prev, v_prev):
-    """Compose the block's Riccati elements into one (A, Q, R) map.
-
-    Inputs are per-row arrays (B, ...) where row r's element transports
-    the carry over the gap ending at local row r, built from the
-    *previous* row's (a, u, v) (already shifted / boundary-exchanged by
-    the caller).
-    """
-    B, J = u_prev.shape
-    I = jnp.eye(J, dtype=u_prev.dtype)
-    al = _safe(a_prev)[:, None, None]
-    A = phi[:, :, None] * (
-        I[None] - jnp.einsum("nj,nk->njk", v_prev, u_prev) / al
-    )
-    Q = (
-        phi[:, :, None]
-        * (jnp.einsum("nj,nk->njk", v_prev, v_prev) / al)
-        * phi[:, None, :]
-    )
-    R = -jnp.einsum("nj,nk->njk", u_prev, u_prev) / al
-
-    def comp(acc, el):
-        return _riccati_combine(acc, el), None
-
-    # the scan inputs vary over the mesh axes; the carry must match, so
-    # derive its varying-ness from the data (a varying one)
-    one = u_prev[0, 0] * 0.0 + 1.0
-    init = (
-        I * one,
-        jnp.zeros((J, J), u_prev.dtype) * one,
-        jnp.zeros((J, J), u_prev.dtype) * one,
-    )
-    with jax.default_matmul_precision("highest"):
-        (Ab, Qb, Rb), _ = lax.scan(comp, init, (A, Q, R))
-    return Ab, Qb, Rb
-
-
-def _local_factor(S_in, boundary, phi, a, U, V):
-    """Plain factor recursion from an incoming carry (B rows).
-
-    ``boundary = (a_in, u_in, v_in)`` is the previous shard's last row;
-    its (d, w) — needed for this shard's first rank-one update — are
-    recovered from ``S_in`` (d = a - u S u, w = (v - S u)/d).  For the
-    first shard phi[0] = 0 annihilates the carry, so the garbage
-    boundary values are harmless.
-    """
-    a_in, u_in, v_in = boundary
-    tmp0 = S_in @ u_in
-    d_in = a_in - u_in @ tmp0
-    w_in = (v_in - tmp0) / _safe(d_in)
-
-    def body(carry, inp):
-        S, d_prev, w_prev = carry
-        p, a_n, u, v = inp
-        S = S + d_prev * jnp.outer(w_prev, w_prev)
-        S = p[:, None] * S * p[None, :]
-        tmp = S @ u
-        d = a_n - u @ tmp
-        w = (v - tmp) / _safe(d)
-        return (S, d, w), (d, w)
-
-    init = (S_in, d_in, w_in)
-    (_, _, _), (d, W) = lax.scan(body, init, (phi, a, U, V))
-    return d, W
-
-
-def _local_affine_block(A_el, b_el):
-    """Compose per-row affine elements (A (B,J,J), b (B,J)) into one."""
-    J = A_el.shape[-1]
-
-    def comp(acc, el):
-        Aa, ba = acc
-        Ae, be = el
-        return (Ae @ Aa, Ae @ ba + be), None
-
-    one = A_el[0, 0, 0] * 0.0 + 1.0
-    init = (
-        jnp.eye(J, dtype=A_el.dtype) * one,
-        jnp.zeros((J,), A_el.dtype) * one,
-    )
-    with jax.default_matmul_precision("highest"):
-        (Ab, bb), _ = lax.scan(comp, init, (A_el, b_el))
-    return Ab, bb
 
 
 def _prefix_incoming(blocks, idx, combine, identity):
@@ -176,52 +100,70 @@ def sharded_loglik(t, c, a, U, V, resid, *, axis_name="seq"):
         phi,
     )
 
-    # ---- phase 2a: factor block maps + carry exchange
-    Ab, Qb, Rb = _local_riccati_block(phi, a_prev, U_prev, V_prev)
-    blocks = (
-        lax.all_gather(Ab, axis_name),
-        lax.all_gather(Qb, axis_name),
-        lax.all_gather(Rb, axis_name),
-    )
+    # ---- phase 2a: local factor prefix maps (parallel engine) +
+    #      block-map exchange
     I = jnp.eye(J, dtype=dtype)
+    al = _safe(a_prev)[:, None, None]
+    A_r = phi[:, :, None] * (
+        I[None] - V_prev[:, :, None] * U_prev[:, None, :] / al
+    )
+    Q_r = (
+        phi[:, :, None]
+        * (V_prev[:, :, None] * V_prev[:, None, :] / al)
+        * phi[:, None, :]
+    )
+    R_r = -U_prev[:, :, None] * U_prev[:, None, :] / al
+    pref = _engine_scan(_riccati_combine, (A_r, Q_r, R_r), _id_riccati)
+    blocks = jax.tree_util.tree_map(
+        lambda x: lax.all_gather(x[-1], axis_name), pref
+    )
     S_identity = (I, jnp.zeros((J, J), dtype), jnp.zeros((J, J), dtype))
     e_in = _prefix_incoming(blocks, idx, _riccati_combine, S_identity)
     S_in = e_in[1]  # map applied to S0 = 0 is the combined Q
 
-    # ---- phase 3a: local factor from S_in
-    d, W = _local_factor(S_in, (a_in, u_in, v_in), phi, a, U, V)
+    # ---- phase 3a: per-row state = prefix map applied to S_in
+    Ap, Qp, Rp = pref
+    G = _small_inv(I[None] + _bmm(Rp, jnp.broadcast_to(S_in, Rp.shape)))
+    S_full = Qp + _bmm(
+        _bmm(Ap, _bmm(jnp.broadcast_to(S_in, Rp.shape), G)),
+        jnp.swapaxes(Ap, -1, -2),
+    )
+    d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
+    W = (V - _bmv(S_full, U)) / _safe(d)[:, None]
     ok_local = jnp.all(d > 0)
     logdet_local = jnp.sum(jnp.log(_safe(d)))
 
-    # ---- phase 2b: solve block maps (affine) + carry exchange
+    # ---- phase 2b: solve prefix maps (affine) + carry exchange
     w_in = lax.ppermute(W[-1], axis_name, right)
     r_in = lax.ppermute(resid[-1], axis_name, right)
     W_prev = jnp.concatenate([w_in[None], W[:-1]])
     resid_prev = jnp.concatenate([r_in[None], resid[:-1]])
 
     A_el = phi[:, :, None] * (
-        I[None] - jnp.einsum("nj,nk->njk", W_prev, U_prev)
+        I[None] - W_prev[:, :, None] * U_prev[:, None, :]
     )
     b_el = phi * (W_prev * resid_prev[:, None])
-    Af, bf = _local_affine_block(A_el, b_el)
-    blocksF = (lax.all_gather(Af, axis_name), lax.all_gather(bf, axis_name))
+    prefF = _engine_scan(
+        _mat_affine_combine, (A_el, b_el[..., None]), _id_affine
+    )
+    blocksF = jax.tree_util.tree_map(
+        lambda x: lax.all_gather(x[-1], axis_name), prefF
+    )
 
     def aff_combine(acc, el):
         Aa, ba = acc
         Ae, be = el
-        return Ae @ Aa, Ae @ ba + be
+        return _bmm(Ae, Aa), _bmv(Ae, ba) + be
 
     F_identity = (I, jnp.zeros((J,), dtype))
-    _, F_in = _prefix_incoming(blocksF, idx, aff_combine, F_identity)
+    _, F_in = _prefix_incoming(
+        (blocksF[0], blocksF[1][..., 0]), idx, aff_combine, F_identity
+    )
 
-    # ---- phase 3b: local solve from F_in
-    def solve_body(F, inp):
-        A_n, b_n, u_n, y_n = inp
-        F = A_n @ F + b_n
-        z = y_n - u_n @ F
-        return F, z
-
-    _, z = lax.scan(solve_body, F_in, (A_el, b_el, U, resid))
+    # ---- phase 3b: per-row solve from F_in
+    ApF, bpF = prefF
+    F_post = _bmv(ApF, jnp.broadcast_to(F_in, (B, J))) + bpF[..., 0]
+    z = resid - jnp.sum(U * F_post, axis=-1)
     quad_local = jnp.sum(z**2 / _safe(d))
 
     # ---- reduce

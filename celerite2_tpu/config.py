@@ -43,13 +43,16 @@ class Config:
               explicit backend and the wide-J reverse fallback;
               interpret mode off-TPU).
         block_size: rows per grid step for the pallas backend.
-        assoc_threshold: minimum N for "auto" to pick assoc.
+        assoc_threshold: minimum N for "auto" to pick assoc; None
+            (default) resolves per platform — 64 on TPU (measured: the
+            engine wins in-graph by >10x from N=256 up; sequential
+            scans are latency-bound), 1024 elsewhere.
         pallas_threshold: retained for explicit pallas experiments.
     """
 
     backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"
     block_size: int = 1024
-    assoc_threshold: int = 1024
+    assoc_threshold: int | None = None
     pallas_threshold: int = 512
 
 

@@ -1,14 +1,15 @@
 """Backend dispatch for the semiseparable ops.
 
-Measured regimes (v5e, N=1e5, J=2, f32, loglik+grad):
+Measured regimes (v5e, N=1e5, J=2, f32, loglik+grad, in-graph):
 
 * **"scan"** — plain ``lax.scan``, ~2.1 s/eval on TPU (the faithful
-  port of the reference's sequential algorithm).  Still the right tier
-  for heavily vmapped work (thousands of NUTS chains) and small N.
-* **"assoc"** — the parallel-composition formulations, ~66 ms/eval on
-  TPU.  Internally picks an engine: ``two_level_prefix`` (sqrt(N)-
-  blocked plain scans) on TPU, where ``lax.associative_scan`` takes
-  minutes to *compile*; the true log-depth associative scan elsewhere.
+  port of the reference's sequential algorithm).  Right only for tiny
+  N; even vmapped chain fleets run ~10x faster on the assoc tier.
+* **"assoc"** — the parallel-composition formulations, ~2.3 ms/eval on
+  TPU (~800x the sequential baseline; ~0.3 ms at N=1e3).  Internally
+  picks an engine: ``two_level_prefix`` (recursive blocked plain
+  scans) on TPU, where ``lax.associative_scan`` takes minutes to
+  *compile*; the true log-depth associative scan elsewhere.
 * **"pallas"** — hand-written sequential Mosaic kernels, ~170 ms/eval.
   Strictly per-row recursions are latency-bound at ~500+ cycles/row on
   TPU whenever a reduction sits on the carried dependency (measured:
@@ -66,8 +67,11 @@ def _backend(n: int) -> str:
     if cfg.backend != "auto":
         return cfg.backend
     # the assoc tier picks a platform-appropriate engine internally
-    # (two-level blocked scan on TPU, lax.associative_scan elsewhere)
-    return "assoc" if n >= cfg.assoc_threshold else "scan"
+    # (multi-level blocked scan on TPU, lax.associative_scan elsewhere)
+    thr = cfg.assoc_threshold
+    if thr is None:
+        thr = 64 if _on_tpu() else 1024
+    return "assoc" if n >= thr else "scan"
 
 
 def _batch_rule(scan_fn, axis_size, in_batched, *args):

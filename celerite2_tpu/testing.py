@@ -133,7 +133,7 @@ def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
                 apply_inverse=np.asarray(gp.apply_inverse(y)),
             )
     finally:
-        set_config(backend="auto", assoc_threshold=2048)
+        set_config(backend="auto", assoc_threshold=None)
 
     ref = results[backends[0]]
     for backend in backends[1:]:

@@ -44,9 +44,10 @@ class Config:
               interpret mode off-TPU).
         block_size: rows per grid step for the pallas backend.
         assoc_threshold: minimum N for "auto" to pick assoc; None
-            (default) resolves per platform — 64 on TPU (measured: the
-            engine wins in-graph by >10x from N=256 up; sequential
-            scans are latency-bound), 1024 elsewhere.
+            (default) resolves per platform — 4096 on TPU, 1024
+            elsewhere.  The engine wins in-graph by >10x from N=256 up,
+            but compiles slowly inside deeply nested samplers; lower
+            this (e.g. to 64) for long production runs at moderate N.
         pallas_threshold: retained for explicit pallas experiments.
     """
 

@@ -651,33 +651,39 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     bv0n = bv0[1:]
     bdpn = bdp[1:]
 
-    def mid_of(M, u_n, w_n, bv0_n, bdp_n):
-        Mw = jnp.sum(M * w_n[None, :], axis=1)
-        MTw = jnp.sum(M * w_n[:, None], axis=0)
-        bv = bv0_n + Mw + MTw
-        ba = bdp_n - jnp.sum(w_n * Mw)
-        return M - jnp.outer(u_n, bv) - ba * jnp.outer(u_n, u_n)
-
-    def step_map(M, p_n, u_n, w_n, bv0_n, bdp_n):
-        mid = mid_of(M, u_n, w_n, bv0_n, bdp_n)
-        return p_n[:, None] * mid * p_n[None, :]
-
-    basis = jnp.eye(J * J, dtype=dtype).reshape(J * J, J, J)
-    zJ = jnp.zeros((J,), dtype)
-    zS = jnp.zeros((), dtype)
-
-    def build_elem(p_n, u_n, w_n, bv0_n, bdp_n):
-        # linear part: push each basis matrix through (constants zeroed)
-        lin_cols = jax.vmap(
-            lambda E: step_map(E, p_n, u_n, w_n, zJ, zS).reshape(J * J)
-        )(basis)
-        L = lin_cols.T  # columns are images of basis vectors
-        Cv = step_map(
-            jnp.zeros((J, J), dtype), p_n, u_n, w_n, bv0_n, bdp_n
-        ).reshape(J * J)
-        return L, Cv
-
-    L, Cv = jax.vmap(build_elem)(p, u, w, bv0n, bdpn)
+    # The step is affine in the carried J x J matrix M:
+    #   bv  = bv0 + (M + M^T) w
+    #   ba  = bdp - w^T M w
+    #   M3  = p (.) [M - u (x) bv - ba u (x) u] (.) p
+    # Its linear part as an explicit J^2 x J^2 operator (closed form —
+    # building it by pushing basis matrices through a traced step_map
+    # makes the graph ~J^2 larger and dominates NUTS compile times):
+    #   dM3[jk]/dM[lm] = p_j p_k [ d_jl d_km
+    #                              - u_j (d_kl w_m + d_km w_l)
+    #                              + u_j u_k w_l w_m ]
+    delta = jnp.eye(J, dtype=dtype)
+    T1 = (
+        delta[:, None, :, None] * delta[None, :, None, :]
+    )  # (j,k,l,m) = d_jl d_km
+    uN = u[:, :, None, None, None]
+    uK = u[:, None, :, None, None]
+    wL = w[:, None, None, :, None]
+    wM = w[:, None, None, None, :]
+    T2 = uN * (
+        delta[None, None, :, :, None] * wM
+        + delta[None, None, :, None, :] * wL
+    )
+    T3 = uN * uK * wL * wM
+    pj = p[:, :, None, None, None]
+    pk = p[:, None, :, None, None]
+    L = (pj * pk) * (T1[None] - T2 + T3)
+    L = L.reshape(-1, J * J, J * J)
+    # constant part: the step applied to M = 0
+    mid0 = (
+        -u[:, :, None] * bv0n[:, None, :]
+        - bdpn[:, None, None] * (u[:, :, None] * u[:, None, :])
+    )
+    Cv = (p[:, :, None] * mid0 * p[:, None, :]).reshape(-1, J * J)
     # keep the affine constant as a column matrix so the batched
     # matmul in the combine contracts correctly
     _, R = _suffix_states(

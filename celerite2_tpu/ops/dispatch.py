@@ -62,15 +62,25 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _backend(n: int) -> str:
+def _backend(n: int, ref=None) -> str:
     cfg = get_config()
     if cfg.backend != "auto":
         return cfg.backend
+    if ref is not None and not isinstance(ref, jax.core.Tracer):
+        # eager call: the scan tier runs as ONE compiled loop, while
+        # the assoc engine would dispatch hundreds of individual ops
+        # through the (high-latency) device tunnel
+        return "scan"
     # the assoc tier picks a platform-appropriate engine internally
     # (multi-level blocked scan on TPU, lax.associative_scan elsewhere)
     thr = cfg.assoc_threshold
     if thr is None:
-        thr = 64 if _on_tpu() else 1024
+        # TPU: the engine wins in-graph from N~256 up, but its graph
+        # inside deeply nested samplers (NUTS tree doubling) costs
+        # minutes of XLA compile; 4096 keeps small interactive models
+        # on the fast-compiling scan tier.  Set assoc_threshold=64
+        # explicitly for long production runs at moderate N.
+        thr = 4096 if _on_tpu() else 1024
     return "assoc" if n >= thr else "scan"
 
 
@@ -158,7 +168,7 @@ def _packable(j: int, k: int | None = None) -> bool:
 
 
 def factor_impl(t, c, a, U, V):
-    b = _backend(t.shape[0])
+    b = _backend(t.shape[0], a)
     if b == "pallas":
         name = "factor_packed" if _packable(U.shape[1]) else "factor_pallas"
         return _pallas(name)(t, c, a, U, V)
@@ -170,7 +180,7 @@ def factor_impl(t, c, a, U, V):
 
 
 def _sweep_fwd(op: str, t, c, A, B, Y):
-    bk = _backend(t.shape[0])
+    bk = _backend(t.shape[0], Y)
     if bk == "pallas":
         packed = _packable(A.shape[1], Y.shape[1])
         name = f"{op}_packed" if packed else f"{op}_pallas"
@@ -202,7 +212,7 @@ def matmul_upper_impl(t, c, U, V, Y):
 
 
 def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
-    b = _backend(t.shape[0])
+    b = _backend(t.shape[0], bd)
     if b == "pallas":
         name = (
             "factor_rev_packed"
@@ -229,7 +239,7 @@ def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
 
 
 def sweep_rev_impl(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
-    b = _backend(t.shape[0])
+    b = _backend(t.shape[0], bZ)
     if b == "pallas":
         packed = _packable(A.shape[1], Y.shape[1])
         name = "sweep_rev_packed" if packed else "sweep_rev_pallas"

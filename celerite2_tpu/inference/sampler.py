@@ -80,35 +80,58 @@ def warmup_and_sample(
     target_accept: float = 0.8,
     thin: int = 1,
 ):
-    """Single-chain warmup + sampling (vmap for multiple chains)."""
+    """Single-chain warmup + sampling (vmap for multiple chains).
+
+    Warmup and sampling run as ONE ``lax.scan`` with the adaptation
+    updates masked by a per-step schedule, so the (large) NUTS tree
+    program is instantiated once — splitting the phases into separate
+    scans multiplied XLA compile time ~10x for expensive log-densities
+    (measured ~6 min at N=1e3 with the parallel-scan op tier).
+    """
     dim = q0.shape[0]
     dtype = q0.dtype
+    total = num_warmup + num_samples * thin
 
-    # keep the schedule as numpy: concrete values captured in traced
-    # code must be HLO literals, not device constants (utils.misc.asarr)
+    # static per-step schedule as numpy: concrete values captured in
+    # traced code must be HLO literals (utils.misc.asarr)
     in_slow, win_end = (
         np.asarray(x) for x in _adapt.build_schedule(num_warmup)
     )
+    pad = np.zeros(num_samples * thin, dtype=bool)
+    in_slow = np.concatenate([in_slow.astype(bool), pad])
+    win_end = np.concatenate([win_end.astype(bool), pad])
+    is_warm = np.concatenate(
+        [np.ones(num_warmup, dtype=bool), pad]
+    )
+    last_warm = np.zeros(total, dtype=bool)
+    if num_warmup > 0:
+        last_warm[num_warmup - 1] = True
 
     key, k_eps = jax.random.split(key)
     inv_mass0 = jnp.ones((dim,), dtype)
     eps0 = _find_reasonable_step_size(logdensity_fn, q0, k_eps, inv_mass0)
     da0 = _adapt.da_init(eps0)
 
-    def warm_step(carry, inp):
-        q, da, wf, inv_mass, key = carry
-        slow, at_end = inp
+    def step(carry, inp):
+        q, da, wf, inv_mass, eps_frozen, key = carry
+        warm, slow, at_end, freeze = inp
         key, k = jax.random.split(key)
-        eps = jnp.exp(da.log_eps)
+        eps = jnp.where(warm, jnp.exp(da.log_eps), eps_frozen)
         q, logp, info = nuts_kernel(
             logdensity_fn, q, k, eps, inv_mass, max_depth=max_depth
         )
-        da = _adapt.da_update(da, info.accept_prob, target=target_accept)
+
+        # ---- adaptation (warmup steps only, branchless)
+        da_upd = _adapt.da_update(
+            da, info.accept_prob, target=target_accept
+        )
+        da = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(warm, new, old), da_upd, da
+        )
         wf_upd = _adapt.welford_update(wf, q)
         wf = jax.tree_util.tree_map(
             lambda new, old: jnp.where(slow, new, old), wf_upd, wf
         )
-
         # at the end of a slow window: set mass, reset welford, re-init
         # dual averaging around the current step size
         new_inv_mass = _adapt.welford_variance(wf)
@@ -121,34 +144,31 @@ def warmup_and_sample(
         da = jax.tree_util.tree_map(
             lambda r, old: jnp.where(at_end, r, old), da_reset, da
         )
-        return (q, da, wf, inv_mass, key), None
-
-    carry = (q0, da0, _adapt.welford_init(dim, dtype), inv_mass0, key)
-    if num_warmup > 0:
-        carry, _ = lax.scan(warm_step, carry, (in_slow, win_end))
-    q, da, _, inv_mass, key = carry
-    eps_final = jnp.exp(
-        jnp.where(da.count > 0, da.log_eps_avg, da.log_eps)
-    )
-
-    def sample_step(carry, _):
-        q, key = carry
-        key, k = jax.random.split(key)
-        q, logp, info = nuts_kernel(
-            logdensity_fn, q, k, eps_final, inv_mass, max_depth=max_depth
+        # freeze the averaged step size when warmup ends
+        eps_done = jnp.exp(
+            jnp.where(da.count > 0, da.log_eps_avg, da.log_eps)
         )
+        eps_frozen = jnp.where(freeze, eps_done, eps_frozen)
+
         out = (q, logp, info.accept_prob, info.num_steps, info.diverging)
-        return (q, key), out
+        return (q, da, wf, inv_mass, eps_frozen, key), out
 
-    def thinned_step(carry, _):
-        for _i in range(thin):
-            carry, out = sample_step(carry, None)
-        return carry, out
-
-    (q, key), outs = lax.scan(
-        thinned_step, (q, key), None, length=num_samples
+    carry = (
+        q0,
+        da0,
+        _adapt.welford_init(dim, dtype),
+        inv_mass0,
+        eps0,
+        key,
     )
-    samples, logps, accs, steps, divs = outs
+    carry, outs = lax.scan(
+        step, carry, (is_warm, in_slow, win_end, last_warm)
+    )
+    _, _, _, inv_mass, eps_final, _ = carry
+
+    # keep every thin-th post-warmup draw (the last of each group)
+    sel = slice(num_warmup + thin - 1, total, thin)
+    samples, logps, accs, steps, divs = (o[sel] for o in outs)
     return (
         samples,
         logps,

@@ -1,4 +1,4 @@
-"""The NUTS chain runner: warmup adaptation + sampling as two lax.scans.
+"""The NUTS chain runner: all chains, warmup and sampling in one scan.
 
 ``run_nuts`` drives ``C`` chains as one compiled program: the chain axis
 is a ``vmap`` axis, so sharding it over a device mesh (pjit) is how the
@@ -80,15 +80,44 @@ def warmup_and_sample(
     target_accept: float = 0.8,
     thin: int = 1,
 ):
-    """Single-chain warmup + sampling (vmap for multiple chains).
+    """Single-chain warmup + sampling."""
+    outs = _run_chains(
+        logdensity_fn,
+        q0[None],
+        key[None],
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        max_depth=max_depth,
+        target_accept=target_accept,
+        thin=thin,
+    )
+    return tuple(o[0] for o in outs)
 
-    Warmup and sampling run as ONE ``lax.scan`` with the adaptation
-    updates masked by a per-step schedule, so the (large) NUTS tree
-    program is instantiated once — splitting the phases into separate
-    scans multiplied XLA compile time ~10x for expensive log-densities
-    (measured ~6 min at N=1e3 with the parallel-scan op tier).
+
+def _run_chains(
+    logdensity_fn: Callable,
+    q0: jax.Array,
+    keys: jax.Array,
+    *,
+    num_warmup: int,
+    num_samples: int,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    thin: int = 1,
+):
+    """All chains in ONE scan over steps with a vmapped step body.
+
+    Two structural choices keep XLA compile time bounded (measured at
+    N=1e3 with the parallel-scan op tier on v5e):
+      * warmup and sampling share a single ``lax.scan`` whose
+        adaptation updates are masked by a static per-step schedule
+        (separate scans instantiate the large NUTS tree program twice);
+      * chains are vmapped over the *step body* inside the scan,
+        ``scan(vmap(step))``, NOT ``vmap(scan(step))`` — vmapping the
+        whole sampler multiplied compile time a further ~10x (28 s ->
+        330 s).
     """
-    dim = q0.shape[0]
+    C, dim = q0.shape
     dtype = q0.dtype
     total = num_warmup + num_samples * thin
 
@@ -107,12 +136,16 @@ def warmup_and_sample(
     if num_warmup > 0:
         last_warm[num_warmup - 1] = True
 
-    key, k_eps = jax.random.split(key)
-    inv_mass0 = jnp.ones((dim,), dtype)
-    eps0 = _find_reasonable_step_size(logdensity_fn, q0, k_eps, inv_mass0)
-    da0 = _adapt.da_init(eps0)
+    keys, keys_eps = jax.vmap(jax.random.split, out_axes=1)(keys)
+    inv_mass0 = jnp.ones((C, dim), dtype)
+    eps0 = jax.vmap(
+        lambda q, k, m: _find_reasonable_step_size(
+            logdensity_fn, q, k, m
+        )
+    )(q0, keys_eps, inv_mass0)
+    da0 = jax.vmap(_adapt.da_init)(eps0)
 
-    def step(carry, inp):
+    def step_one(inp, carry):
         q, da, wf, inv_mass, eps_frozen, key = carry
         warm, slow, at_end, freeze = inp
         key, k = jax.random.split(key)
@@ -153,22 +186,26 @@ def warmup_and_sample(
         out = (q, logp, info.accept_prob, info.num_steps, info.diverging)
         return (q, da, wf, inv_mass, eps_frozen, key), out
 
-    carry = (
-        q0,
-        da0,
+    def step(carry, inp):
+        import functools
+
+        return jax.vmap(functools.partial(step_one, inp))(carry)
+
+    wf0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (C,) + x.shape),
         _adapt.welford_init(dim, dtype),
-        inv_mass0,
-        eps0,
-        key,
     )
+    carry = (q0, da0, wf0, inv_mass0, eps0, keys)
     carry, outs = lax.scan(
         step, carry, (is_warm, in_slow, win_end, last_warm)
     )
     _, _, _, inv_mass, eps_final, _ = carry
 
-    # keep every thin-th post-warmup draw (the last of each group)
+    # keep every thin-th post-warmup draw, chain-major
     sel = slice(num_warmup + thin - 1, total, thin)
-    samples, logps, accs, steps, divs = (o[sel] for o in outs)
+    samples, logps, accs, steps, divs = (
+        jnp.swapaxes(o[sel], 0, 1) for o in outs
+    )
     return (
         samples,
         logps,
@@ -216,19 +253,16 @@ def run_nuts(
         q0 = jax.device_put(q0, chain_axis)
         keys = jax.device_put(keys, chain_axis)
 
-    runner = jax.vmap(
-        lambda q, k: warmup_and_sample(
-            logdensity_fn,
-            q,
-            k,
-            num_warmup=num_warmup,
-            num_samples=num_samples,
-            max_depth=max_depth,
-            target_accept=target_accept,
-            thin=thin,
-        )
+    samples, logps, accs, steps, divs, eps, inv_mass = _run_chains(
+        logdensity_fn,
+        q0,
+        keys,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        max_depth=max_depth,
+        target_accept=target_accept,
+        thin=thin,
     )
-    samples, logps, accs, steps, divs, eps, inv_mass = runner(q0, keys)
     return NUTSResult(
         samples=samples,
         log_prob=logps,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from celerite2_tpu.ops import scan as _scan
 from celerite2_tpu.ops import dispatch as _dispatch
+from celerite2_tpu.ops.spec import validate_call
 
 __all__ = [
     "factor",
@@ -179,6 +180,7 @@ def general_matmul_lower(t1, t2, c, U, V, Y):
     ``t1 (N,)`` target points, ``t2 (M,)`` source points (both sorted),
     ``U (N, J)``, ``V (M, J)``, ``Y (M, K)`` -> ``Z (N, K)``.
     """
+    validate_call("general_matmul_lower", t1, t2, c, U, V, Y)
     # F[m] = sum_{l <= m} diag(e^{-c (t2[m]-t2[l])}) V[l]^T Y[l], via the
     # inclusive transported cumulative (a diagonal affine scan).
     phi = _scan.transport(t2, c)
@@ -206,6 +208,7 @@ def general_matmul_lower(t1, t2, c, U, V, Y):
 
 def general_matmul_upper(t1, t2, c, U, V, Y):
     """Z[n] = sum_{m: t2[m] > t1[n]} U[n] . diag(e^{-c (t2[m]-t1[n])}) V[m] Y[m]."""
+    validate_call("general_matmul_upper", t1, t2, c, U, V, Y)
     # reverse-time cumulative: F[m] = sum_{l >= m} transported V^T Y
     phi_up = _scan.transport_up(t2, c)
     G = V[:, :, None] * Y[:, None, :]
@@ -239,6 +242,7 @@ def general_matmul_upper(t1, t2, c, U, V, Y):
 def to_dense(t, c, a, U, V):
     """Materialize the dense celerite matrix (O(N^2 J); oracle only —
     reference forward.hpp:19-42)."""
+    validate_call("to_dense", t, c, a, U, V)
     tau = t[:, None] - t[None, :]
     decay = jnp.exp(-c[None, None, :] * jnp.abs(tau)[:, :, None])
     K = jnp.einsum("nj,mj,nmj->nm", U, V, decay)

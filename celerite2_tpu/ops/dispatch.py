@@ -39,6 +39,7 @@ import jax
 
 from celerite2_tpu.config import get_config
 from celerite2_tpu.ops import scan as _scan
+from celerite2_tpu.ops.spec import validate_call
 
 _SCAN_TWIN = {
     "factor_pallas": "factor_scan",
@@ -168,6 +169,7 @@ def _packable(j: int, k: int | None = None) -> bool:
 
 
 def factor_impl(t, c, a, U, V):
+    validate_call("factor", t, c, a, U, V)
     b = _backend(t.shape[0], a)
     if b == "pallas":
         name = "factor_packed" if _packable(U.shape[1]) else "factor_pallas"
@@ -180,6 +182,7 @@ def factor_impl(t, c, a, U, V):
 
 
 def _sweep_fwd(op: str, t, c, A, B, Y):
+    validate_call(op, t, c, A, B, Y)
     bk = _backend(t.shape[0], Y)
     if bk == "pallas":
         packed = _packable(A.shape[1], Y.shape[1])

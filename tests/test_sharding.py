@@ -114,3 +114,53 @@ def test_chain_sharded_nuts(mesh8):
     assert np.all(np.asarray(split_rhat(res.samples)) < 1.1)
     m = np.asarray(res.samples).reshape(-1, 3).mean(axis=0)
     np.testing.assert_allclose(m, np.asarray(mu), atol=0.3)
+
+
+def test_two_level_engine_inside_shard_map():
+    """The TPU multichip path runs two_level_prefix INSIDE shard_map;
+    exercise that combination explicitly on the CPU mesh (the platform
+    check would otherwise route CPU tests to lax.associative_scan)."""
+    import jax
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from celerite2_tpu.ops.assoc import (
+        _id_affine,
+        _mat_affine_combine,
+        two_level_prefix,
+    )
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("seq",))
+    rng = np.random.default_rng(0)
+    N = 64
+    A = jnp.asarray(np.eye(2) + 0.1 * rng.normal(size=(N, 2, 2)))
+    b = jnp.asarray(rng.normal(size=(N, 2, 1)))
+
+    def local_prefix_last(A_l, b_l):
+        # per-shard inclusive prefix via the blocked engine, then
+        # return each shard's composed block map
+        Ap, bp = two_level_prefix(
+            _mat_affine_combine, (A_l, b_l), _id_affine, block=8
+        )
+        return Ap[-1:], bp[-1:]
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_prefix_last,
+            mesh=mesh,
+            in_specs=(P("seq"), P("seq")),
+            out_specs=(P("seq"), P("seq")),
+        )
+    )
+    Ab, bb = fn(A, b)
+
+    B = N // 4
+    # shard k's block map composes rows [kB, (k+1)B): compute directly
+    for k in range(4):
+        Aref, bref = lax.associative_scan(
+            _mat_affine_combine,
+            (A[k * B:(k + 1) * B], b[k * B:(k + 1) * B]),
+        )
+        np.testing.assert_allclose(Ab[k], Aref[-1], rtol=1e-10)
+        np.testing.assert_allclose(bb[k], bref[-1], rtol=1e-10)

@@ -49,12 +49,17 @@ class Config:
             but compiles slowly inside deeply nested samplers; lower
             this (e.g. to 64) for long production runs at moderate N.
         pallas_threshold: retained for explicit pallas experiments.
+        engine_block: rows per level of the blocked prefix engine
+            (sequential steps ~ engine_block * log_block(N); each step
+            batches over N/engine_block blocks).  Throughput is flat
+            for 32-256 on v5e at N=1e5.
     """
 
     backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"
     block_size: int = 1024
     assoc_threshold: int | None = None
     pallas_threshold: int = 512
+    engine_block: int = 64
 
 
 _config = Config()

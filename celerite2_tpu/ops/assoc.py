@@ -104,7 +104,9 @@ def two_level_prefix(combine, elems, identity, *, reverse=False,
     total ~block * log_block(N); work ~2N combines per level.
     """
     if block is None:
-        block = DEFAULT_ENGINE_BLOCK
+        from celerite2_tpu.config import get_config
+
+        block = get_config().engine_block
     if reverse:
         flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
         out = two_level_prefix(combine, flipped, identity, block=block)

@@ -24,6 +24,18 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os as _os
+
+# persistent compile cache: repeated driver invocations skip the
+# 30-240 s tunnel compile where the runtime supports reuse
+jax.config.update("jax_enable_compilation_cache", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"
+    ),
+)
+
 
 def make_fn(backend, chain_len):
     from celerite2_tpu import set_config, terms

@@ -32,7 +32,7 @@ jax.config.update("jax_enable_compilation_cache", True)
 jax.config.update(
     "jax_compilation_cache_dir",
     _os.path.join(
-        _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"
+        _os.path.dirname(_os.path.abspath(__file__)), ".jax_cache_bench"
     ),
 )
 

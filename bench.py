@@ -39,7 +39,7 @@ jax.config.update(
 
 def make_fn(backend, chain_len):
     from celerite2_tpu import set_config, terms
-    from celerite2_tpu.gp import gp_compute, gp_log_likelihood
+    from celerite2_tpu.gp import gp_loglik
 
     # data flows through ARGUMENTS, never closures: the axon TPU
     # runtime re-uploads closure device constants every call (~40ms)
@@ -50,8 +50,8 @@ def make_fn(backend, chain_len):
             rho=jnp.exp(theta[1]),
             tau=jnp.exp(theta[2]),
         )
-        state = gp_compute(kernel, t, yerr=yerr)
-        return gp_log_likelihood(state, y)
+        # fused factor+solve: ONE engine pass for the forward
+        return gp_loglik(kernel, t, y, yerr=yerr)
 
     def many(theta, t, yerr, y):
         def body(carry, _):

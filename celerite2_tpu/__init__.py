@@ -48,13 +48,18 @@ __all__ = [
     "RotationTerm",
     "OriginalCeleriteTerm",
     "GaussianProcess",
+    "gp_loglik",
 ]
 
 
 def __getattr__(name):
-    # GaussianProcess imports ops lazily to avoid import cycles
+    # the GP layer imports ops lazily to avoid import cycles
     if name == "GaussianProcess":
         from celerite2_tpu.gp import GaussianProcess
 
         return GaussianProcess
+    if name == "gp_loglik":
+        from celerite2_tpu.gp import gp_loglik
+
+        return gp_loglik
     raise AttributeError(f"module 'celerite2_tpu' has no attribute {name!r}")

@@ -48,11 +48,20 @@ class Config:
             elsewhere.  The engine wins in-graph by >10x from N=256 up,
             but compiles slowly inside deeply nested samplers; lower
             this (e.g. to 64) for long production runs at moderate N.
-        pallas_threshold: retained for explicit pallas experiments.
+        pallas_threshold: minimum N for ``backend="pallas"`` to actually
+            route to the Pallas kernels; smaller systems fall back to
+            the scan tier (grid setup dominates below a few hundred
+            rows).
         engine_block: rows per level of the blocked prefix engine
             (sequential steps ~ engine_block * log_block(N); each step
             batches over N/engine_block blocks).  Throughput is flat
             for 32-256 on v5e at N=1e5.
+        bucket_widths: round J up to the next ``J_BUCKETS`` entry before
+            entering the kernels (zero columns are exact no-ops in the
+            recursions), bounding XLA recompiles across kernel widths —
+            the TPU analogue of the reference's UNWRAP_CASES switch
+            (driver.hpp:27-101).  Widths above ``MAX_WIDTH`` skip
+            bucketing.
     """
 
     backend: Literal["auto", "scan", "assoc", "pallas"] = "auto"
@@ -60,6 +69,7 @@ class Config:
     assoc_threshold: int | None = None
     pallas_threshold: int = 512
     engine_block: int = 64
+    bucket_widths: bool = True
 
 
 _config = Config()

@@ -36,6 +36,7 @@ __all__ = [
     "ConditionalDistribution",
     "gp_compute",
     "gp_log_likelihood",
+    "gp_loglik",
 ]
 
 LOG2PI = math.log(2.0 * math.pi)
@@ -148,6 +149,40 @@ def gp_log_likelihood(state: GPState, y):
     quad = jnp.sum(alpha**2 / safe_d)
     ll = state.norm - 0.5 * quad
     return jnp.where(state.ok, ll, -jnp.inf)
+
+
+def gp_loglik(kernel, t, y, *, yerr=None, diag=None, mean=0.0):
+    """GP log-likelihood in ONE fused pass (the sampler hot path).
+
+    Equivalent to ``gp_log_likelihood(gp_compute(kernel, t, ...), y)``
+    but runs factor + solve as a single sweep / engine invocation
+    (``ops.factor_solve``), halving the forward cost.  Use this inside
+    log-posteriors driven by the inference engine; use
+    ``gp_compute`` + the state API when you also need prediction or
+    sampling from the same factorization.
+    """
+    t = _atleast_1d((t))
+    if yerr is not None and diag is not None:
+        raise ValueError("only one of 'diag' and 'yerr' can be provided")
+    if yerr is not None:
+        diag_v = jnp.broadcast_to(_asarr(yerr), t.shape) ** 2
+    elif diag is not None:
+        diag_v = jnp.broadcast_to(_asarr(diag), t.shape)
+    else:
+        diag_v = jnp.zeros_like(t)
+    mean_fn = mean if callable(mean) else ConstantMean(mean)
+    resid = _asarr(y) - jnp.broadcast_to(_asarr(mean_fn(t)), t.shape)
+
+    c, a, U, V = kernel.get_celerite_matrices(t, diag_v)
+    d, _, z = ops.factor_solve(t, c, a, U, V, resid[:, None])
+
+    ok = jnp.all(d > 0)
+    safe_d = jnp.where(d > 0, d, jnp.ones_like(d))
+    quad = jnp.sum(z[:, 0] ** 2 / safe_d)
+    ll = -0.5 * (
+        jnp.sum(jnp.log(safe_d)) + quad + t.shape[0] * LOG2PI
+    )
+    return jnp.where(ok, ll, -jnp.inf)
 
 
 def gp_sample(state: GPState, key, *, shape=(), include_mean=True):

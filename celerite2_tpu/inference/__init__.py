@@ -9,6 +9,7 @@ from celerite2_tpu.inference.checkpoint import (
     save_state,
 )
 from celerite2_tpu.inference.fit import MAPResult, fit_map
+from celerite2_tpu.inference.hmc import HMCResult, run_hmc
 from celerite2_tpu.inference.nuts import nuts_kernel
 from celerite2_tpu.inference.sampler import NUTSResult, run_nuts
 from celerite2_tpu.inference.smc import SMCResult, run_smc
@@ -28,6 +29,8 @@ __all__ = [
     "CheckpointManager",
     "run_nuts",
     "NUTSResult",
+    "run_hmc",
+    "HMCResult",
     "run_advi",
     "ADVIResult",
     "run_smc",

@@ -27,7 +27,6 @@ via :meth:`Term.get_celerite_matrices` (reference terms.py:117-177).
 from __future__ import annotations
 
 import math
-from functools import wraps
 
 import jax
 import jax.numpy as jnp
@@ -419,10 +418,71 @@ class TermDiff(Term):
         )
 
 
+def _damped_exponentials(coeffs):
+    """Collapse a 6-tuple coefficient set into complex (w, z) pairs.
+
+    Every celerite component — real or oscillatory — is a damped complex
+    exponential ``k(tau) = Re[w exp(-z tau)]`` with ``w = a + i b`` and
+    ``z = c + i d`` (real components have b = d = 0).  Working in this
+    unified form lets the boxcar-convolution closed forms below be
+    written ONCE instead of per real/complex block.
+
+    Returns ``(w, z, n_real)`` where the first ``n_real`` pairs are the
+    purely-real components.
+    """
+    ar, cr, ac, bc, cc, dc = coeffs
+    cplx = jnp.result_type(ar.dtype, jnp.complex64)
+    w = jnp.concatenate([ar.astype(cplx), ac + 1j * bc])
+    z = jnp.concatenate([cr.astype(cplx), cc + 1j * dc])
+    return w, z, ar.shape[0]
+
+
+def _boxcar_far_amplitudes(w, z, delta):
+    """Amplitudes of the boxcar-convolved kernel at lags tau >= delta.
+
+    Averaging ``Re[w e^{-z tau'}]`` over two width-``delta`` exposure
+    windows multiplies each amplitude by
+    ``(1/delta^2) int_0^d e^{zu} du int_0^d e^{-zv} dv
+      = 2 (cosh(z d) - 1) / (z d)^2``
+    as long as the windows do not overlap (tau >= delta); the exponents
+    z are unchanged.  (Same kernel family as reference terms.py:384-410,
+    derived here in the unified complex form.)
+    """
+    zd = z * delta
+    return 2.0 * w * (jnp.cosh(zd) - 1.0) / zd**2
+
+
+def _boxcar_variance_excess(w, z, delta):
+    """``k_conv(0) - sum(Re[far amplitudes])``: the tau -> 0 limit of the
+    convolved kernel exceeds what the far-field (semiseparable)
+    representation predicts, because the exposure windows overlap.  The
+    excess per component is ``2 Re[w (z d - sinh(z d))] / (z d)^2`` —
+    this is the diagonal correction applied when building the celerite
+    matrices (role of reference terms.py:350-382)."""
+    zd = z * delta
+    return 2.0 * jnp.sum((w * (zd - jnp.sinh(zd)) / zd**2).real)
+
+
 @_register
 class TermConvolution(Term):
-    """Boxcar (exposure-time) convolution of a term
-    (reference terms.py:333-482)."""
+    """Boxcar (exposure-time) convolution of a term.
+
+    Same capability as reference terms.py:333-482, re-derived in the
+    unified complex-exponential form (see :func:`_damped_exponentials`):
+    the convolved kernel is
+
+        k_conv(tau) = (1/d^2) int_0^d int_0^d k(tau - u + v) du dv
+
+    which for each component ``Re[w e^{-z tau}]`` evaluates to
+
+        tau >= d:  Re[ w' e^{-z tau} ],  w' = 2 w (cosh(zd)-1)/(zd)^2
+        tau <  d:  Re[ w (2 (d-tau)/z
+                         + (e^{-z(d-tau)} + e^{-z(d+tau)}
+                            - 2 e^{-z tau}) / z^2) ] / d^2
+
+    (integrate the triangular lag density (d-|s|)/d^2 over s in [-d, d]
+    piecewise around s = tau).
+    """
 
     _params = ("term", "delta")
 
@@ -431,59 +491,22 @@ class TermConvolution(Term):
         self.delta = _asarr(delta)
 
     def get_celerite_matrices(self, x, diag):
-        # The boxcar integral changes the tau->0 limit: correct the diagonal
-        # (reference terms.py:350-382).
-        dt = self.delta
-        ar, cr, a, b, cc, d = self.term.get_coefficients()
-
-        crd = cr * dt
-        delta_diag = 2 * jnp.sum(ar * (crd - jnp.sinh(crd)) / crd**2)
-
-        cd = cc * dt
-        dd = d * dt
-        c2 = cc**2
-        d2 = d**2
-        c2pd2 = c2 + d2
-        C1 = a * (c2 - d2) + 2 * b * cc * d
-        C2 = b * (c2 - d2) - 2 * a * cc * d
-        norm = (dt * c2pd2) ** 2
-        delta_diag = delta_diag + 2 * jnp.sum(
-            (
-                C2 * jnp.cosh(cd) * jnp.sin(dd)
-                - C1 * jnp.sinh(cd) * jnp.cos(dd)
-                + (a * cc + b * d) * dt * c2pd2
-            )
-            / norm
-        )
+        # Semiseparable representation = far-field amplitudes; the
+        # overlap region only affects pairs closer than delta, of which
+        # the diagonal is the exactly-correctable part.
+        w, z, _ = _damped_exponentials(self.term.get_coefficients())
+        excess = _boxcar_variance_excess(w, z, self.delta)
         x = _atleast_1d((x))
         diag = jnp.broadcast_to(_asarr(diag), x.shape)
-        return Term.get_celerite_matrices(self, x, diag + delta_diag)
+        return Term.get_celerite_matrices(self, x, diag + excess)
 
     def get_coefficients(self):
-        ar, cr, a, b, c, d = self.term.get_coefficients()
-        dt = self.delta
-
-        crd = cr * dt
-        new_ar = 2 * ar * (jnp.cosh(crd) - 1) / crd**2
-
-        cd = c * dt
-        dd = d * dt
-        c2 = c**2
-        d2 = d**2
-        factor = 2.0 / (dt * (c2 + d2)) ** 2
-        cos_term = jnp.cosh(cd) * jnp.cos(dd) - 1
-        sin_term = jnp.sinh(cd) * jnp.sin(dd)
-        C1 = a * (c2 - d2) + 2 * b * c * d
-        C2 = b * (c2 - d2) - 2 * a * c * d
-
-        return (
-            new_ar,
-            cr,
-            factor * (C1 * cos_term - C2 * sin_term),
-            factor * (C2 * cos_term + C1 * sin_term),
-            c,
-            d,
+        ar, cr, ac, bc, cc, dc = self.term.get_coefficients()
+        w, z, n_real = _damped_exponentials(
+            (ar, cr, ac, bc, cc, dc)
         )
+        wp = _boxcar_far_amplitudes(w, z, self.delta)
+        return (wp[:n_real].real, cr, wp[n_real:].real, wp[n_real:].imag, cc, dc)
 
     def get_psd(self, omega):
         omega = _atleast_1d((omega))
@@ -493,62 +516,25 @@ class TermConvolution(Term):
         return psd0 * sinc**2
 
     def get_value(self, tau0):
-        # Piecewise form: for tau >= delta the convolved kernel is the base
-        # kernel with modified amplitudes; for tau < delta the boxcars
-        # overlap (reference terms.py:421-482).  Branchless select.
-        dt = self.delta
-        ar, cr, a, b, c, d = self.term.get_coefficients()
-
+        w, z, _ = _damped_exponentials(self.term.get_coefficients())
+        d = self.delta
         tau0 = jnp.abs(_atleast_1d((tau0)))
         tau = tau0[..., None]
-        dpt = dt + tau
-        dmt = dt - tau
 
-        crd = cr * dt
-        cosh = jnp.cosh(crd)
-        norm_r = 2 * ar / crd**2
-        K_large = jnp.sum(norm_r * (cosh - 1) * jnp.exp(-cr * tau), axis=-1)
-        crdmt = cr * dmt
-        K_small = K_large + jnp.sum(
-            norm_r * (crdmt - jnp.sinh(crdmt)), axis=-1
+        far = jnp.sum(
+            (_boxcar_far_amplitudes(w, z, d) * jnp.exp(-z * tau)).real,
+            axis=-1,
         )
 
-        cd = c * dt
-        dd = d * dt
-        c2 = c**2
-        d2 = d**2
-        c2pd2 = c2 + d2
-        C1 = a * (c2 - d2) + 2 * b * c * d
-        C2 = b * (c2 - d2) - 2 * a * c * d
-        norm = 1.0 / (dt * c2pd2) ** 2
-        k0 = jnp.exp(-c * tau)
-        cdt = jnp.cos(d * tau)
-        sdt = jnp.sin(d * tau)
+        gap = d - tau
+        near_per = w * (
+            2.0 * gap / z
+            + (jnp.exp(-z * gap) + jnp.exp(-z * (d + tau)) - 2.0 * jnp.exp(-z * tau))
+            / z**2
+        )
+        near = jnp.sum(near_per.real, axis=-1) / d**2
 
-        cos_term = 2 * (jnp.cosh(cd) * jnp.cos(dd) - 1)
-        sin_term = 2 * (jnp.sinh(cd) * jnp.sin(dd))
-        factor = k0 * norm
-        K_large += jnp.sum(
-            (C1 * cos_term - C2 * sin_term) * factor * cdt, axis=-1
-        )
-        K_large += jnp.sum(
-            (C2 * cos_term + C1 * sin_term) * factor * sdt, axis=-1
-        )
-
-        edmt = jnp.exp(-c * dmt)
-        edpt = jnp.exp(-c * dpt)
-        cos_term = (
-            edmt * jnp.cos(d * dmt) + edpt * jnp.cos(d * dpt) - 2 * k0 * cdt
-        )
-        sin_term = (
-            edmt * jnp.sin(d * dmt) + edpt * jnp.sin(d * dpt) - 2 * k0 * sdt
-        )
-        K_small += jnp.sum(
-            2 * (a * c + b * d) * c2pd2 * dmt * norm, axis=-1
-        )
-        K_small += jnp.sum((C1 * cos_term + C2 * sin_term) * norm, axis=-1)
-
-        return jnp.where(tau0 >= dt, K_large, K_small)
+        return jnp.where(tau0 >= d, far, near)
 
 
 # ====================================================== primitive terms
@@ -609,38 +595,34 @@ class ComplexTerm(Term):
         )
 
 
-class handle_parameter_spec:
-    """Enforce exactly-one-of alternative parameterizations
-    (reference terms.py:572-601)."""
+def resolve_parameter_spec(spec, kwargs):
+    """Resolve alternative parameterizations from a declarative table.
 
-    def __init__(self, mapper=_asarr):
-        self.mapper = mapper
-
-    def __call__(self, to_wrap):
-        @wraps(to_wrap)
-        def wrapped(target, *args, **kwargs):
-            for param, alt in target.__parameter_spec__:
-                all_names = {param} | {name for name, _ in alt}
-                if sum(int(n in kwargs) for n in all_names) != 1:
-                    raise ValueError(
-                        "exactly one of {0} must be defined".format(
-                            sorted(all_names)
-                        )
-                    )
-                if param in kwargs:
-                    setattr(target, param, self.mapper(kwargs.pop(param)))
-                else:
-                    for name, func in alt:
-                        if name in kwargs:
-                            setattr(
-                                target,
-                                param,
-                                func(target, self.mapper(kwargs.pop(name))),
-                            )
-                            break
-            return to_wrap(target, *args, **kwargs)
-
-        return wrapped
+    ``spec`` rows are ``(primary, alternatives)`` where ``alternatives``
+    maps each alternate keyword to a converter
+    ``(resolved_so_far: dict, value) -> primary_value`` — converters may
+    depend on primaries resolved by EARLIER rows only, which keeps the
+    dependency order explicit in the table itself.  Exactly one spelling
+    per row must appear in ``kwargs``; consumed names are popped, so the
+    caller can detect leftover unknown keywords.  Returns the dict of
+    primary values.  (Fills the role of the reference's
+    ``handle_parameter_spec`` decorator, terms.py:572-601, as a plain
+    data-driven function instead of an ``__init__`` wrapper.)
+    """
+    resolved = {}
+    for primary, alternatives in spec:
+        spellings = (primary, *alternatives)
+        present = [name for name in spellings if name in kwargs]
+        if len(present) != 1:
+            raise ValueError(
+                f"exactly one of {sorted(spellings)} must be defined"
+            )
+        (name,) = present
+        value = _asarr(kwargs.pop(name))
+        if name != primary:
+            value = alternatives[name](resolved, value)
+        resolved[primary] = value
+    return resolved
 
 
 @_register
@@ -659,20 +641,23 @@ class SHOTerm(Term):
     _params = ("w0", "Q", "S0", "eps")
 
     __parameter_spec__ = (
-        ("w0", (("rho", lambda self, rho: 2 * math.pi / rho),)),
-        ("Q", (("tau", lambda self, tau: 0.5 * self.w0 * tau),)),
-        (
-            "S0",
-            (("sigma", lambda self, sigma: sigma**2 / (self.w0 * self.Q)),),
-        ),
+        ("w0", {"rho": lambda p, rho: 2 * math.pi / rho}),
+        ("Q", {"tau": lambda p, tau: 0.5 * p["w0"] * tau}),
+        ("S0", {"sigma": lambda p, sigma: sigma**2 / (p["w0"] * p["Q"])}),
     )
 
     @staticmethod
     def get_test_parameters():
         return dict(sigma=1.5, tau=2.345, rho=3.4)
 
-    @handle_parameter_spec(_asarr)
-    def __init__(self, *, eps=1e-5):
+    def __init__(self, *, eps=1e-5, **params):
+        resolved = resolve_parameter_spec(self.__parameter_spec__, params)
+        if params:
+            raise TypeError(
+                f"unexpected SHOTerm parameters: {sorted(params)}"
+            )
+        for name, value in resolved.items():
+            setattr(self, name, value)
         self.eps = _asarr(eps)
 
     # -- the two regimes, each as width-2 coefficient sets ------------

@@ -1,5 +1,6 @@
 from celerite2_tpu.ops.api import (
     factor,
+    factor_solve,
     general_matmul_lower,
     general_matmul_upper,
     matmul_lower,
@@ -11,6 +12,7 @@ from celerite2_tpu.ops.api import (
 
 __all__ = [
     "factor",
+    "factor_solve",
     "solve_lower",
     "solve_upper",
     "matmul_lower",

@@ -17,12 +17,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from celerite2_tpu.config import MAX_WIDTH, get_config, pad_width
 from celerite2_tpu.ops import scan as _scan
 from celerite2_tpu.ops import dispatch as _dispatch
 from celerite2_tpu.ops.spec import validate_call
 
 __all__ = [
     "factor",
+    "factor_solve",
     "solve_lower",
     "solve_upper",
     "matmul_lower",
@@ -31,6 +33,38 @@ __all__ = [
     "general_matmul_upper",
     "to_dense",
 ]
+
+
+# ==================================================== width bucketing
+#
+# Every distinct J triggers a fresh XLA compile of the scan/assoc/pallas
+# programs.  Like the reference's UNWRAP_CASES J-specialization switch
+# (driver.hpp:27-101), J is rounded up to a fixed bucket before entering
+# the kernels: the recursions are exactly invariant to zero columns of
+# U/V/W (the padded carry rows stay identically zero), so results are
+# bit-identical while the number of compiled programs stays bounded.
+# Padded c entries are 1.0 so the transport exp(-c dt) stays in (0, 1].
+# Widths above MAX_WIDTH skip bucketing (generic tiers handle any J).
+
+
+def _bucketed(c, *mats):
+    """Pad ``c (J,)`` and the (N, J) matrices to the config J bucket.
+
+    Returns ``(c_p, mats_p, J)`` where ``J`` is the ORIGINAL width (what
+    callers slice outputs back to).
+    """
+    J = c.shape[0]
+    if not get_config().bucket_widths or J == 0 or J > MAX_WIDTH:
+        return c, mats, J
+    Jp = pad_width(J)
+    if Jp == J:
+        return c, mats, J
+    pad = Jp - J
+    c_p = jnp.concatenate([c, jnp.ones((pad,), c.dtype)])
+    mats_p = tuple(
+        jnp.pad(m, ((0, 0), (0, pad))) for m in mats
+    )
+    return c_p, mats_p, J
 
 
 # ============================================================== factor
@@ -45,124 +79,166 @@ def factor(t, c, a, U, V):
     definite (reference forward.hpp:128 returns the failing row; traced
     code checks ``jnp.all(d > 0)`` instead).
     """
-    d, W, _ = _dispatch.factor_impl(t, c, a, U, V)
-    return d, W
+    c_p, (U_p, V_p), J = _bucketed(c, U, V)
+    d, W, _ = _dispatch.factor_impl(t, c_p, a, U_p, V_p)
+    return d, W[:, :J]
 
 
 def _factor_fwd(t, c, a, U, V):
-    d, W, S = _dispatch.factor_impl(t, c, a, U, V)
-    return (d, W), (t, c, a, U, V, d, W, S)
+    J = U.shape[1]
+    c_p, (U_p, V_p), _ = _bucketed(c, U, V)
+    d, W, S = _dispatch.factor_impl(t, c_p, a, U_p, V_p)
+    # the cache S keeps its native (bucketed / packed) layout so the
+    # reverse tier consumes exactly what its twin produced; the padded
+    # columns of W are identically zero, so storing the sliced W and
+    # re-padding in the bwd is exact
+    return (d, W[:, :J]), (t, c, a, U, V, d, W[:, :J], S)
 
 
 def _factor_bwd(res, grads):
     t, c, a, U, V, d, W, S = res
     bd, bW = grads
+    J = c.shape[0]
+    c_p, (U_p, V_p, W_p, bW_p), _ = _bucketed(c, U, V, W, bW)
     bt, bc, ba, bU, bV = _dispatch.factor_rev_impl(
-        t, c, a, U, V, d, W, S, bd, bW
+        t, c_p, a, U_p, V_p, d, W_p, S, bd, bW_p
     )
-    return bt, bc, ba, bU, bV
+    return bt, bc[:J], ba, bU[:, :J], bV[:, :J]
 
 
 factor.defvjp(_factor_fwd, _factor_bwd)
 
 
+# ======================================================== fused factor+solve
+
+
+@jax.custom_vjp
+def factor_solve(t, c, a, U, V, Y):
+    """Fused ``factor`` + ``solve_lower``: returns ``(d, W, Z)`` with
+    ``Z = L^{-1} Y`` — the log-likelihood forward in ONE pass over the
+    data (one engine invocation on the assoc tier), replacing the
+    back-to-back execution of the reference's factor + solve loops
+    (forward.hpp:111-132 then internal.hpp:138-145).
+    """
+    c_p, (U_p, V_p), J = _bucketed(c, U, V)
+    d, W, Z, _, _ = _dispatch.factor_solve_impl(t, c_p, a, U_p, V_p, Y)
+    return d, W[:, :J], Z
+
+
+def _factor_solve_fwd(t, c, a, U, V, Y):
+    J = U.shape[1]
+    c_p, (U_p, V_p), _ = _bucketed(c, U, V)
+    d, W, Z, S, F = _dispatch.factor_solve_impl(t, c_p, a, U_p, V_p, Y)
+    return (d, W[:, :J], Z), (t, c, a, U, V, Y, d, W[:, :J], Z, S, F)
+
+
+def _factor_solve_bwd(res, grads):
+    t, c, a, U, V, Y, d, W, Z, S, F = res
+    bd, bW_pub, bZ = grads
+    J = c.shape[0]
+    c_p, (U_p, V_p, W_p, bW_pub_p), _ = _bucketed(c, U, V, W, bW_pub)
+    # adjoint of the solve (consumes the solve cache F)
+    bt1, bc1, bU1, bW1, bY = _dispatch.sweep_rev_impl(
+        t, c_p, U_p, W_p, Y, Z, F, bZ, is_solve=True, upper=False
+    )
+    # adjoint of the factorization; W's cotangent collects the public
+    # contribution plus the solve's use of W
+    bt2, bc2, ba, bU2, bV = _dispatch.factor_rev_impl(
+        t, c_p, a, U_p, V_p, d, W_p, S, bd, bW_pub_p + bW1
+    )
+    return (
+        bt1 + bt2,
+        (bc1 + bc2)[:J],
+        ba,
+        (bU1 + bU2)[:, :J],
+        bV[:, :J],
+        bY,
+    )
+
+
+factor_solve.defvjp(_factor_solve_fwd, _factor_solve_bwd)
+
+
 # =============================================================== solves
 
 
-@jax.custom_vjp
-def solve_lower(t, c, U, W, Y):
-    """Z = L^{-1} Y (unit lower-triangular semiseparable solve)."""
-    Z, _ = _dispatch.solve_lower_impl(t, c, U, W, Y)
-    return Z
+def _sweep_op(name, doc, impl_name, *, is_solve, upper, swap):
+    """Build one bucketed custom_vjp sweep op.
+
+    ``swap`` — whether the reverse pass receives (arg2, arg1) instead of
+    (arg1, arg2): the upper sweeps project with the second factor and
+    feed the carry with the first.
+    """
+
+    impl = getattr(_dispatch, impl_name)
+
+    @jax.custom_vjp
+    def op(t, c, M1, M2, Y):
+        c_p, (M1_p, M2_p), _ = _bucketed(c, M1, M2)
+        Z, _ = impl(t, c_p, M1_p, M2_p, Y)
+        return Z
+
+    def fwd(t, c, M1, M2, Y):
+        c_p, (M1_p, M2_p), _ = _bucketed(c, M1, M2)
+        Z, F = impl(t, c_p, M1_p, M2_p, Y)
+        # F keeps its native (bucketed / packed) cache layout
+        return Z, (t, c, M1, M2, Y, Z, F)
+
+    def bwd(res, bZ):
+        t, c, M1, M2, Y, Z, F = res
+        J = c.shape[0]
+        c_p, (M1_p, M2_p), _ = _bucketed(c, M1, M2)
+        A, B = (M2_p, M1_p) if swap else (M1_p, M2_p)
+        bt, bc, bA, bB, bY = _dispatch.sweep_rev_impl(
+            t, c_p, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+        )
+        b1, b2 = (bB, bA) if swap else (bA, bB)
+        return bt, bc[:J], b1[:, :J], b2[:, :J], bY
+
+    op.defvjp(fwd, bwd)
+    op.__name__ = name
+    op.__qualname__ = name
+    op.__doc__ = doc
+    return op
 
 
-def _solve_lower_fwd(t, c, U, W, Y):
-    Z, F = _dispatch.solve_lower_impl(t, c, U, W, Y)
-    return Z, (t, c, U, W, Y, Z, F)
+solve_lower = _sweep_op(
+    "solve_lower",
+    "Z = L^{-1} Y (unit lower-triangular semiseparable solve).",
+    "solve_lower_impl",
+    is_solve=True,
+    upper=False,
+    swap=False,
+)
 
+# the upper solve projects with W and feeds the carry with U, so its
+# adjoint sees the swapped pair
+solve_upper = _sweep_op(
+    "solve_upper",
+    "Z = L^{-T} Y.",
+    "solve_upper_impl",
+    is_solve=True,
+    upper=True,
+    swap=True,
+)
 
-def _solve_lower_bwd(res, bZ):
-    t, c, U, W, Y, Z, F = res
-    bt, bc, bU, bW, bY = _dispatch.sweep_rev_impl(
-        t, c, U, W, Y, Z, F, bZ, is_solve=True, upper=False
-    )
-    return bt, bc, bU, bW, bY
+matmul_lower = _sweep_op(
+    "matmul_lower",
+    "Z = tril_strict(U V^T (x) transport) @ Y.",
+    "matmul_lower_impl",
+    is_solve=False,
+    upper=False,
+    swap=False,
+)
 
-
-solve_lower.defvjp(_solve_lower_fwd, _solve_lower_bwd)
-
-
-@jax.custom_vjp
-def solve_upper(t, c, U, W, Y):
-    """Z = L^{-T} Y."""
-    Z, _ = _dispatch.solve_upper_impl(t, c, U, W, Y)
-    return Z
-
-
-def _solve_upper_fwd(t, c, U, W, Y):
-    Z, F = _dispatch.solve_upper_impl(t, c, U, W, Y)
-    return Z, (t, c, U, W, Y, Z, F)
-
-
-def _solve_upper_bwd(res, bZ):
-    t, c, U, W, Y, Z, F = res
-    # forward used A=W (projection), B=U (carry); adjoint mirrors that.
-    bt, bc, bW, bU, bY = _dispatch.sweep_rev_impl(
-        t, c, W, U, Y, Z, F, bZ, is_solve=True, upper=True
-    )
-    return bt, bc, bU, bW, bY
-
-
-solve_upper.defvjp(_solve_upper_fwd, _solve_upper_bwd)
-
-
-# ============================================================== matmuls
-
-
-@jax.custom_vjp
-def matmul_lower(t, c, U, V, Y):
-    """Z = tril_strict(U V^T (x) transport) @ Y."""
-    Z, _ = _dispatch.matmul_lower_impl(t, c, U, V, Y)
-    return Z
-
-
-def _matmul_lower_fwd(t, c, U, V, Y):
-    Z, F = _dispatch.matmul_lower_impl(t, c, U, V, Y)
-    return Z, (t, c, U, V, Y, Z, F)
-
-
-def _matmul_lower_bwd(res, bZ):
-    t, c, U, V, Y, Z, F = res
-    bt, bc, bU, bV, bY = _dispatch.sweep_rev_impl(
-        t, c, U, V, Y, Z, F, bZ, is_solve=False, upper=False
-    )
-    return bt, bc, bU, bV, bY
-
-
-matmul_lower.defvjp(_matmul_lower_fwd, _matmul_lower_bwd)
-
-
-@jax.custom_vjp
-def matmul_upper(t, c, U, V, Y):
-    """Z = triu_strict(V U^T (x) transport) @ Y."""
-    Z, _ = _dispatch.matmul_upper_impl(t, c, U, V, Y)
-    return Z
-
-
-def _matmul_upper_fwd(t, c, U, V, Y):
-    Z, F = _dispatch.matmul_upper_impl(t, c, U, V, Y)
-    return Z, (t, c, U, V, Y, Z, F)
-
-
-def _matmul_upper_bwd(res, bZ):
-    t, c, U, V, Y, Z, F = res
-    bt, bc, bV, bU, bY = _dispatch.sweep_rev_impl(
-        t, c, V, U, Y, Z, F, bZ, is_solve=False, upper=True
-    )
-    return bt, bc, bU, bV, bY
-
-
-matmul_upper.defvjp(_matmul_upper_fwd, _matmul_upper_bwd)
+matmul_upper = _sweep_op(
+    "matmul_upper",
+    "Z = triu_strict(V U^T (x) transport) @ Y.",
+    "matmul_upper_impl",
+    is_solve=False,
+    upper=True,
+    swap=True,
+)
 
 
 # ===================================================== general matmuls

@@ -41,8 +41,6 @@ them in the test suite.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -57,6 +55,7 @@ from celerite2_tpu.ops.scan import (
 __all__ = [
     "two_level_prefix",
     "factor_assoc",
+    "factor_solve_assoc",
     "factor_rev_assoc",
     "sweep_rev_assoc",
     "solve_lower_assoc",
@@ -379,7 +378,12 @@ def _small_inv(M):
     No pivoting / argmax: the pivoted Gauss-Jordan fallback makes the
     TPU XLA pipeline's compile time explode (minutes at N=1e3).  The
     matrices inverted here are ``I + Q R`` Riccati Gram combinations,
-    which are far from singular for valid (positive-definite) systems.
+    which are far from singular for valid (positive-definite) systems —
+    but invertibility of the FULL matrix does not guarantee
+    invertibility of its leading principal blocks, so the 2x2 base case
+    clamps its determinant magnitude: a (rare) near-singular leading
+    block yields large-but-finite values that the quiet non-PD
+    semantics absorb, instead of inf/NaN poisoning the whole engine.
     """
     J = M.shape[-1]
     if J == 1:
@@ -390,6 +394,15 @@ def _small_inv(M):
         c = M[..., 1, 0]
         d = M[..., 1, 1]
         det = a * d - b * c
+        # scale-aware determinant floor (quiet-failure guard)
+        floor = jnp.finfo(M.dtype).eps * (
+            jnp.abs(a * d) + jnp.abs(b * c)
+        ) + jnp.finfo(M.dtype).tiny
+        det = jnp.where(
+            jnp.abs(det) >= floor,
+            det,
+            jnp.where(det < 0, -floor, floor),
+        )
         inv = jnp.stack(
             [
                 jnp.stack([d, -b], axis=-1),
@@ -498,6 +511,137 @@ def factor_assoc(t, c, a, U, V):
         * jnp.einsum("nj,nk->njk", W_prev, W_prev)
     )
     return d, W, S_half
+
+
+# ================================================ fused factor + solve
+#
+# The log-likelihood needs `factor` THEN `solve_lower` — two engine
+# passes if run separately.  The pair is exactly a Kalman filter
+# (celerite kernels are state-space models): S plays the predictive
+# covariance (Riccati flow), the solve feedback carry F plays the mean.
+# The temporal-parallelization-of-Kalman-filters element
+# (Sarkka & Garcia-Fernandez 2021) extends the (A, Q, R) Riccati element
+# with two J x K components (b, eta), acting on (S, F) as
+#
+#     S' = A (I + S R)^{-1} S A^T + Q
+#     F' = A (I + S R)^{-1} (F + S eta) + b
+#
+# Verified single-step fit (derivation in factor_solve_assoc): with the
+# factor element (A, Q, R) of `factor_assoc` built from row data
+# (phi, a, u, v) and
+#
+#     b = diag(phi) v y^T / a,   eta = -u y^T / a
+#
+# the composed action reproduces the fused recursion
+#     F_n = diag(phi_n)(F_{n-1} + w_{n-1} z_{n-1}^T),
+#     z_n = y_n - U_n^T F_n
+# with w, z the factor/solve outputs of row n-1.  One engine pass now
+# yields d, W, AND the whitened residual z.
+
+
+def _id_kalman(elems):
+    A, Q, R, b, eta = elems
+    J = A.shape[-1]
+    return (
+        jnp.broadcast_to(jnp.eye(J, dtype=A.dtype), (1,) + A.shape[1:]),
+        jnp.zeros((1,) + Q.shape[1:], Q.dtype),
+        jnp.zeros((1,) + R.shape[1:], R.dtype),
+        jnp.zeros((1,) + b.shape[1:], b.dtype),
+        jnp.zeros((1,) + eta.shape[1:], eta.dtype),
+    )
+
+
+def _kalman_combine(e1, e2):
+    """Compose fused factor+solve elements (e1 earlier, e2 later)."""
+    A1, Q1, R1, b1, eta1 = e1
+    A2, Q2, R2, b2, eta2 = e2
+    J = A1.shape[-1]
+    I = jnp.eye(J, dtype=A1.dtype)
+    # Gamma = (I + Q1 R2)^{-1} applied to [A1 | Q1 | (b1 + Q1 eta2)]
+    rhs = jnp.concatenate([A1, Q1, b1 + _bmm(Q1, eta2)], axis=-1)
+    G = _small_solve(I + _bmm(Q1, R2), rhs)
+    GA1 = G[..., :J]
+    GQ1 = G[..., J : 2 * J]
+    Gb = G[..., 2 * J :]
+    # E = (I + R2 Q1)^{-1} applied to [R2 | (eta2 - R2 b1)]
+    rhsE = jnp.concatenate([R2, eta2 - _bmm(R2, b1)], axis=-1)
+    E = _small_solve(I + _bmm(R2, Q1), rhsE)
+    R2G = E[..., :J]
+    Eeta = E[..., J:]
+    A12 = _bmm(A2, GA1)
+    Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
+    R12 = R1 + _bmm(_bmm(_mT(A1), R2G), A1)
+    b12 = b2 + _bmm(A2, Gb)
+    eta12 = eta1 + _bmm(_mT(A1), Eeta)
+    Q12 = 0.5 * (Q12 + _mT(Q12))
+    R12 = 0.5 * (R12 + _mT(R12))
+    return A12, Q12, R12, b12, eta12
+
+
+@_full_precision
+def factor_solve_assoc(t, c, a, U, V, Y):
+    """Fused factor + lower solve in ONE engine pass.
+
+    Returns ``(d, W, Z, S_half, F_pre)`` bit-matching
+    ``factor_assoc`` + ``solve_lower_assoc`` cache conventions (the
+    standard reverse tiers consume them unchanged).
+    """
+    N, J = U.shape
+    K = Y.shape[1]
+    phi = transport(t, c)
+    I = jnp.eye(J, dtype=U.dtype)
+
+    ar = _safe(a)
+    u, v = U[:-1], V[:-1]
+    al = ar[:-1, None, None]
+    p = phi[1:]
+    A_body = p[:, :, None] * (
+        I[None] - jnp.einsum("nj,nk->njk", v, u) / al
+    )
+    Q_body = (
+        p[:, :, None]
+        * (jnp.einsum("nj,nk->njk", v, v) / al)
+        * p[:, None, :]
+    )
+    R_body = -jnp.einsum("nj,nk->njk", u, u) / al
+    y_over_a = Y[:-1] / ar[:-1, None]
+    b_body = p[:, :, None] * jnp.einsum("nj,nk->njk", v, y_over_a)
+    eta_body = -jnp.einsum("nj,nk->njk", u, y_over_a)
+
+    A = jnp.concatenate([I[None], A_body], axis=0)
+    Q = jnp.concatenate([jnp.zeros((1, J, J), U.dtype), Q_body], axis=0)
+    R = jnp.concatenate([jnp.zeros((1, J, J), U.dtype), R_body], axis=0)
+    b = jnp.concatenate([jnp.zeros((1, J, K), Y.dtype), b_body], axis=0)
+    eta = jnp.concatenate(
+        [jnp.zeros((1, J, K), Y.dtype), eta_body], axis=0
+    )
+
+    with jax.default_matmul_precision("highest"):
+        _, S_full, _, F_post, _ = _engine_scan(
+            _kalman_combine, (A, Q, R, b, eta), _id_kalman
+        )
+    # prefix applied to (S0, F0) = (0, 0): S = combined Q, F = combined b
+    d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
+    W = (V - _bmv(S_full, U)) / _safe(d)[:, None]
+    Z = Y - jnp.sum(U[:, :, None] * F_post, axis=1)
+
+    # caches in the standard conventions
+    S_prev = jnp.concatenate(
+        [jnp.zeros_like(S_full[:1]), S_full[:-1]], axis=0
+    )
+    d_prev = jnp.concatenate([jnp.zeros_like(d[:1]), d[:-1]])
+    W_prev = jnp.concatenate([jnp.zeros_like(W[:1]), W[:-1]], axis=0)
+    S_half = phi[:, :, None] * (
+        S_prev
+        + d_prev[:, None, None]
+        * jnp.einsum("nj,nk->njk", W_prev, W_prev)
+    )
+    F_prev = jnp.concatenate(
+        [jnp.zeros_like(F_post[:1]), F_post[:-1]], axis=0
+    )
+    Z_prev = jnp.concatenate([jnp.zeros_like(Z[:1]), Z[:-1]], axis=0)
+    F_pre = F_prev + jnp.einsum("nj,nk->njk", W_prev, Z_prev)
+    return d, W, Z, S_half, F_pre
 
 
 # ===================================================== reverse sweeps

@@ -34,12 +34,28 @@ consumed by a compatible tier.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 
 from celerite2_tpu.config import get_config
 from celerite2_tpu.ops import scan as _scan
 from celerite2_tpu.ops.spec import validate_call
+
+_logger = logging.getLogger("celerite2_tpu")
+
+
+@functools.cache
+def _warn_unpacked(op: str, j: int, k) -> None:
+    """One-time notice when a shape misses the fast packed kernels
+    (no silent tier cliffs)."""
+    _logger.warning(
+        "%s with J=%d%s is outside the packed Pallas kernel limits "
+        "(K=1, J<=8); falling back to the ~13x slower tiled kernels",
+        op,
+        j,
+        "" if k is None else f", K={k}",
+    )
 
 _SCAN_TWIN = {
     "factor_pallas": "factor_scan",
@@ -65,6 +81,9 @@ def _on_tpu() -> bool:
 
 def _backend(n: int, ref=None) -> str:
     cfg = get_config()
+    if cfg.backend == "pallas":
+        # grid setup dominates tiny systems; keep them on the scan tier
+        return "pallas" if n >= cfg.pallas_threshold else "scan"
     if cfg.backend != "auto":
         return cfg.backend
     if ref is not None and not isinstance(ref, jax.core.Tracer):
@@ -158,8 +177,19 @@ def _pallas_cv(name: str, block_size: int, **flags):
     return cv
 
 
-def _pallas(name: str, **flags):
-    return _pallas_cv(name, get_config().block_size, **flags)
+def _pallas(name: str, block: int | None = None, **flags):
+    return _pallas_cv(
+        name, block or get_config().block_size, **flags
+    )
+
+
+def _rev_block_for(J: int, itemsize: int = 4) -> int:
+    """Clamp the reverse-kernel block so its (B, J, J) VMEM-resident
+    cache stream stays within a ~4 MiB budget (double-buffered, plus
+    the other streams, inside the ~16 MiB VMEM) — mirrors
+    pallas_packed's REV_BLOCK clamp for the wide-J tiled fallback."""
+    budget = 4 * 1024 * 1024
+    return max(128, min(get_config().block_size, budget // (J * J * itemsize)))
 
 
 def _packable(j: int, k: int | None = None) -> bool:
@@ -171,28 +201,53 @@ def _packable(j: int, k: int | None = None) -> bool:
 def factor_impl(t, c, a, U, V):
     validate_call("factor", t, c, a, U, V)
     b = _backend(t.shape[0], a)
-    if b == "pallas":
-        name = "factor_packed" if _packable(U.shape[1]) else "factor_pallas"
-        return _pallas(name)(t, c, a, U, V)
-    if b == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
+    with jax.named_scope(f"celerite2.factor.{b}"):
+        if b == "pallas":
+            if _packable(U.shape[1]):
+                name = "factor_packed"
+            else:
+                name = "factor_pallas"
+                _warn_unpacked("factor", U.shape[1], None)
+            return _pallas(name)(t, c, a, U, V)
+        if b == "assoc":
+            from celerite2_tpu.ops import assoc as _assoc
 
-        return _assoc.factor_assoc(t, c, a, U, V)
-    return _scan.factor_scan(t, c, a, U, V)
+            return _assoc.factor_assoc(t, c, a, U, V)
+        return _scan.factor_scan(t, c, a, U, V)
+
+
+def factor_solve_impl(t, c, a, U, V, Y):
+    """Fused factor + lower solve (the log-likelihood forward)."""
+    validate_call("factor", t, c, a, U, V)
+    b = _backend(t.shape[0], a)
+    with jax.named_scope(f"celerite2.factor_solve.{b}"):
+        if b == "assoc":
+            from celerite2_tpu.ops import assoc as _assoc
+
+            return _assoc.factor_solve_assoc(t, c, a, U, V, Y)
+        if b == "pallas":
+            # no fused pallas kernel: compose the two pallas passes
+            d, W, S = factor_impl(t, c, a, U, V)
+            Z, F = _sweep_fwd("solve_lower", t, c, U, W, Y)
+            return d, W, Z, S, F
+        return _scan.factor_solve_scan(t, c, a, U, V, Y)
 
 
 def _sweep_fwd(op: str, t, c, A, B, Y):
     validate_call(op, t, c, A, B, Y)
     bk = _backend(t.shape[0], Y)
-    if bk == "pallas":
-        packed = _packable(A.shape[1], Y.shape[1])
-        name = f"{op}_packed" if packed else f"{op}_pallas"
-        return _pallas(name)(t, c, A, B, Y)
-    if bk == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
+    with jax.named_scope(f"celerite2.{op}.{bk}"):
+        if bk == "pallas":
+            packed = _packable(A.shape[1], Y.shape[1])
+            if not packed:
+                _warn_unpacked(op, A.shape[1], Y.shape[1])
+            name = f"{op}_packed" if packed else f"{op}_pallas"
+            return _pallas(name)(t, c, A, B, Y)
+        if bk == "assoc":
+            from celerite2_tpu.ops import assoc as _assoc
 
-        return getattr(_assoc, f"{op}_assoc")(t, c, A, B, Y)
-    return getattr(_scan, f"{op}_scan")(t, c, A, B, Y)
+            return getattr(_assoc, f"{op}_assoc")(t, c, A, B, Y)
+        return getattr(_scan, f"{op}_scan")(t, c, A, B, Y)
 
 
 def solve_lower_impl(t, c, U, W, Y):
@@ -216,6 +271,11 @@ def matmul_upper_impl(t, c, U, V, Y):
 
 def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
     b = _backend(t.shape[0], bd)
+    with jax.named_scope(f"celerite2.factor_rev.{b}"):
+        return _factor_rev_routed(b, t, c, a, U, V, d, W, S, bd, bW)
+
+
+def _factor_rev_routed(b, t, c, a, U, V, d, W, S, bd, bW):
     if b == "pallas":
         name = (
             "factor_rev_packed"
@@ -235,26 +295,28 @@ def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
         if _on_tpu():
             # wide J on TPU: the sequential scan costs seconds; the
             # tiled pallas kernel shares the standard cache convention
-            return _pallas("factor_rev_pallas")(
-                t, c, a, U, V, d, W, S, bd, bW
-            )
+            return _pallas(
+                "factor_rev_pallas",
+                block=_rev_block_for(U.shape[1], U.dtype.itemsize),
+            )(t, c, a, U, V, d, W, S, bd, bW)
     return _scan.factor_rev_scan(t, c, a, U, V, d, W, S, bd, bW)
 
 
 def sweep_rev_impl(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
     b = _backend(t.shape[0], bZ)
-    if b == "pallas":
-        packed = _packable(A.shape[1], Y.shape[1])
-        name = "sweep_rev_packed" if packed else "sweep_rev_pallas"
-        return _pallas(name, is_solve=is_solve, upper=upper)(
-            t, c, A, B, Y, Z, F, bZ
-        )
-    if b == "assoc":
-        from celerite2_tpu.ops import assoc as _assoc
+    with jax.named_scope(f"celerite2.sweep_rev.{b}"):
+        if b == "pallas":
+            packed = _packable(A.shape[1], Y.shape[1])
+            name = "sweep_rev_packed" if packed else "sweep_rev_pallas"
+            return _pallas(name, is_solve=is_solve, upper=upper)(
+                t, c, A, B, Y, Z, F, bZ
+            )
+        if b == "assoc":
+            from celerite2_tpu.ops import assoc as _assoc
 
-        return _assoc.sweep_rev_assoc(
+            return _assoc.sweep_rev_assoc(
+                t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
+            )
+        return _scan.sweep_rev_scan(
             t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
         )
-    return _scan.sweep_rev_scan(
-        t, c, A, B, Y, Z, F, bZ, is_solve=is_solve, upper=upper
-    )

@@ -27,6 +27,7 @@ from jax import lax
 __all__ = [
     "transport",
     "factor_scan",
+    "factor_solve_scan",
     "factor_rev_scan",
     "solve_lower_scan",
     "solve_upper_scan",
@@ -116,6 +117,69 @@ def factor_scan(t, c, a, U, V):
 def _safe(x):
     """Guarded divisor: keep traced failure finite (quiet semantics)."""
     return jnp.where(x > 0, x, jnp.ones_like(x))
+
+
+@_full_precision
+def factor_solve_scan(t, c, a, U, V, Y):
+    """Fused LDL^T factorization + lower solve in ONE pass over the data.
+
+    The log-likelihood hot path runs ``factor`` then ``solve_lower``
+    back-to-back (the reference executes forward.hpp:111-132 then
+    internal.hpp:138-145 per evaluation); fusing them halves the number
+    of sweeps (and, on the assoc tier, engine invocations).
+
+    Returns ``(d, W, Z, S, F)`` where ``(d, W, S)`` match
+    :func:`factor_scan` and ``(Z, F)`` match :func:`solve_lower_scan`
+    exactly (same cache conventions, so the standard reverse tiers
+    consume them unchanged).
+    """
+    phi = transport(t, c)
+    N, J = U.shape
+    K = Y.shape[1]
+    dtype = U.dtype
+
+    d0 = a[0]
+    w0 = V[0] / _safe(d0)
+    z0 = Y[0]
+
+    def step(carry, inp):
+        S, F, d_prev, w_prev, z_prev = carry
+        phi_n, a_n, u_n, v_n, y_n = inp
+        # factor
+        S = S + d_prev * jnp.outer(w_prev, w_prev)
+        S_half = phi_n[:, None] * S
+        S_full = S_half * phi_n[None, :]
+        tmp = S_full @ u_n
+        d_n = a_n - u_n @ tmp
+        w_n = (v_n - tmp) / _safe(d_n)
+        # solve (feedback on the output row)
+        F_cache = F + jnp.outer(w_prev, z_prev)
+        F_post = phi_n[:, None] * F_cache
+        z_n = y_n - F_post.T @ u_n
+        return (S_full, F_post, d_n, w_n, z_n), (
+            d_n,
+            w_n,
+            z_n,
+            S_half,
+            F_cache,
+        )
+
+    init = (
+        jnp.zeros((J, J), dtype=dtype),
+        jnp.zeros((J, K), dtype=Y.dtype),
+        d0,
+        w0,
+        z0,
+    )
+    _, (d_r, w_r, z_r, S_r, F_r) = lax.scan(
+        step, init, (phi[1:], a[1:], U[1:], V[1:], Y[1:])
+    )
+    d = jnp.concatenate([d0[None], d_r])
+    W = jnp.concatenate([w0[None], w_r])
+    Z = jnp.concatenate([z0[None], z_r])
+    S = jnp.concatenate([jnp.zeros((1, J, J), dtype=dtype), S_r])
+    F = jnp.concatenate([jnp.zeros((1, J, K), dtype=Y.dtype), F_r])
+    return d, W, Z, S, F
 
 
 @_full_precision

@@ -105,11 +105,13 @@ def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
                       atol=1e-8):
     """Full GP-surface parity across op backends (analogue of the
     reference's ``check_gp_models``, testing.py:183-201)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from celerite2_tpu import GaussianProcess
-    from celerite2_tpu.config import set_config
+    from celerite2_tpu.config import get_config, set_config
 
     random = np.random.default_rng(1986)
     t = np.sort(random.uniform(0, 10, size))
@@ -118,6 +120,7 @@ def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
     t_new = np.linspace(-1, 11, 60)
 
     results = {}
+    prior = get_config()
     try:
         for backend in backends:
             set_config(backend=backend, assoc_threshold=1)
@@ -133,7 +136,8 @@ def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
                 apply_inverse=np.asarray(gp.apply_inverse(y)),
             )
     finally:
-        set_config(backend="auto", assoc_threshold=None)
+        # restore whatever config the caller had, not hard-coded defaults
+        set_config(**dataclasses.asdict(prior))
 
     ref = results[backends[0]]
     for backend in backends[1:]:

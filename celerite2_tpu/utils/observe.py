@@ -1,9 +1,12 @@
 """Observability: named scopes, roofline counters, sampling monitors.
 
 The reference has no tracing/profiling affordances (SURVEY.md section
-5.1); here every hot op runs under ``jax.named_scope`` (visible in the
-JAX profiler / Perfetto), and scan-kernel roofline estimates are
-available for sizing.
+5.1).  Here the op dispatcher wraps every tier entry point in
+``jax.named_scope("celerite2.<op>.<backend>")`` (see ops/dispatch.py —
+visible in the JAX profiler / Perfetto), scan-kernel roofline estimates
+are available for sizing, and ``sampling_monitor`` receives per-chunk
+statistics from the chunked samplers
+(``inference.sampler.run_nuts(..., monitor=...)``).
 """
 
 from __future__ import annotations

@@ -96,3 +96,42 @@ def test_two_level_prefix_matches_associative_scan():
                     o, r, rtol=1e-12, atol=1e-13,
                     err_msg=f"n={n} reverse={reverse}",
                 )
+
+
+def test_small_inv_well_conditioned_matches_dense():
+    import numpy as np
+
+    from celerite2_tpu.ops.assoc import _small_inv
+
+    rng = np.random.default_rng(7)
+    for J in (1, 2, 3, 4, 5, 6, 8):
+        M = np.eye(J) + 0.3 * rng.normal(size=(5, J, J))
+        # keep them comfortably invertible
+        M = M + 2.0 * np.eye(J)
+        inv = np.asarray(_small_inv(jnp.asarray(M)))
+        np.testing.assert_allclose(
+            inv, np.linalg.inv(M), rtol=1e-9, atol=1e-10
+        )
+
+
+def test_small_inv_singular_leading_block_stays_finite():
+    """Invertibility of the full matrix does not imply invertibility of
+    its leading 2x2 block; the unpivoted Schur recursion must degrade to
+    finite (quiet-failure) values, never inf/NaN."""
+    import numpy as np
+
+    from celerite2_tpu.ops.assoc import _small_inv
+
+    # exactly singular leading 2x2 block, full matrix well-conditioned
+    M = np.array(
+        [
+            [1.0, 2.0, 0.5, 0.0],
+            [2.0, 4.0, 0.0, 0.5],
+            [0.5, 0.0, 3.0, 0.1],
+            [0.0, 0.5, 0.1, 3.0],
+        ]
+    )
+    assert abs(np.linalg.det(M[:2, :2])) < 1e-12
+    assert np.linalg.cond(M) < 1e3
+    out = np.asarray(_small_inv(jnp.asarray(M)))
+    assert np.all(np.isfinite(out))

@@ -89,9 +89,11 @@ def main():
     # the fast tier: the assoc formulations, which pick a platform-
     # appropriate engine (multi-level blocked scan on TPU, log-depth
     # lax.associative_scan elsewhere)
+    # long chains amortize the ~30 ms/call axon dispatch latency so the
+    # metric reflects device compute, not tunnel noise
     results = {}
     vals = {}
-    for backend, chain_len, reps in (("scan", 2, 1), ("assoc", 25, 3)):
+    for backend, chain_len, reps in (("scan", 2, 1), ("assoc", 150, 3)):
         fn = make_fn(backend, chain_len)
         dt, val = time_fn(fn, args, chain_len, reps=reps)
         results[backend] = 1.0 / dt

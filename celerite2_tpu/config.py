@@ -68,8 +68,19 @@ class Config:
     block_size: int = 1024
     assoc_threshold: int | None = None
     pallas_threshold: int = 512
-    engine_block: int = 64
+    engine_block: int = 32
     bucket_widths: bool = True
+    # run the fused-loglik forward as ONE kalman-element engine pass on
+    # the assoc tier instead of factor-then-solve: measured ~neutral to
+    # slightly slower on v5e at J=2 (the fatter combine offsets the
+    # saved pass), so off by default; the scan tier always fuses (one
+    # data sweep instead of two is a strict win there)
+    fused_forward: bool = False
+    # one paired engine pass for the fused-loglik reverse instead of
+    # solve-rev + factor-rev: wins when per-step latency dominates
+    # (wide J / small N), loses at J<=2 where the joint state's D^3
+    # combine traffic outweighs the saved pass (measured on v5e)
+    paired_reverse: bool = False
 
 
 _config = Config()

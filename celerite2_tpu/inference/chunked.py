@@ -1,0 +1,115 @@
+"""Chunked, checkpointable execution of one-scan samplers.
+
+The samplers run all steps in one ``lax.scan`` — ideal for throughput,
+but a single monolithic device execution cannot be checkpointed or
+observed mid-run, and the axon TPU worker has been observed to crash on
+~10-minute continuous executions (CLAUDE.md).  This driver splits the
+step schedule into segments, re-using ONE compiled segment function,
+and between segments
+
+* appends the segment's outputs (host-side),
+* feeds summary stats to a ``monitor`` callback
+  (:func:`celerite2_tpu.utils.observe.sampling_monitor`),
+* saves ``{carry, outs}`` to a
+  :class:`celerite2_tpu.inference.checkpoint.CheckpointManager`, so a
+  killed run resumes bit-compatibly from the last completed chunk.
+
+The reference has no checkpoint/resume at all (SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["drive_chunks"]
+
+
+def _slice_sched(sched, lo, hi):
+    return tuple(jnp.asarray(s[lo:hi]) for s in sched)
+
+
+def drive_chunks(
+    seg_fn: Callable,
+    carry: Any,
+    sched: Sequence[np.ndarray],
+    *,
+    chunk_size: Optional[int] = None,
+    checkpoint=None,
+    monitor: Optional[Callable] = None,
+    stat_fn: Optional[Callable] = None,
+):
+    """Run ``seg_fn(carry, sched_slice) -> (carry, outs)`` over the full
+    schedule, optionally in chunks.
+
+    ``sched`` — tuple of per-step host arrays (length = total steps).
+    ``chunk_size=None`` runs everything in one device execution.
+    ``checkpoint`` — a ``CheckpointManager``; chunk ``i``'s state is
+    saved under step ``i``, and an existing checkpoint is resumed from.
+    ``monitor(step, stats)`` is called after each chunk with
+    ``stat_fn(carry, outs) -> dict`` (skipped when either is None).
+
+    Returns ``(carry, outs)`` with segment outputs concatenated along
+    axis 0 (step-major, as if run in one scan).
+    """
+    total = len(sched[0])
+    seg_jit = jax.jit(seg_fn)
+
+    if chunk_size is None or chunk_size >= total:
+        carry, outs = seg_jit(carry, _slice_sched(sched, 0, total))
+        if monitor is not None and stat_fn is not None:
+            monitor(total, stat_fn(carry, outs))
+        return carry, outs
+
+    bounds = list(range(0, total, chunk_size)) + [total]
+    segments = list(zip(bounds[:-1], bounds[1:]))
+
+    outs_acc = None
+    start_idx = 0
+    if checkpoint is not None:
+        latest = checkpoint.latest_step()
+        if latest is not None:
+            # rebuild the restore template from known shapes: run the
+            # schedule prefix shape inference with eval_shape
+            lo, hi = segments[latest]
+            probe = jax.eval_shape(
+                seg_fn, carry, _slice_sched(sched, 0, hi)
+            )
+            template = dict(
+                carry=carry,
+                outs=jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), probe[1]
+                ),
+            )
+            restored = checkpoint.restore(latest, template=template)
+            carry = restored["carry"]
+            outs_acc = restored["outs"]
+            start_idx = latest + 1
+
+    for i in range(start_idx, len(segments)):
+        lo, hi = segments[i]
+        carry, outs = seg_jit(carry, _slice_sched(sched, lo, hi))
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        if outs_acc is None:
+            outs_acc = outs
+        else:
+            outs_acc = jax.tree_util.tree_map(
+                lambda a, b: np.concatenate([a, b], axis=0),
+                outs_acc,
+                outs,
+            )
+        if checkpoint is not None:
+            checkpoint.save(
+                i,
+                dict(
+                    carry=jax.tree_util.tree_map(np.asarray, carry),
+                    outs=outs_acc,
+                ),
+            )
+        if monitor is not None and stat_fn is not None:
+            monitor(hi, stat_fn(carry, outs))
+
+    return carry, jax.tree_util.tree_map(jnp.asarray, outs_acc)

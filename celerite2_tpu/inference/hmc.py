@@ -275,6 +275,9 @@ def run_hmc(
     thin: int = 1,
     chain_axis: Optional[jax.sharding.Sharding] = None,
     initial_step_size: float = 0.1,
+    chunk_size: Optional[int] = None,
+    checkpoint=None,
+    monitor=None,
 ) -> HMCResult:
     """Adaptive fixed-trajectory HMC over a chain fleet.
 
@@ -333,16 +336,36 @@ def run_hmc(
         key=key,
     )
 
-    seg = jax.jit(
-        lambda c, s: _hmc_segment(
+    from celerite2_tpu.inference.chunked import drive_chunks
+
+    def segment(c, s):
+        return _hmc_segment(
             logdensity_fn,
             c,
             s,
             max_leapfrog=max_leapfrog,
             target_accept=target_accept,
         )
+
+    def seg_stats(c, outs):
+        _, _, accs_s, steps_s, divs_s = outs
+        return dict(
+            mean_accept=float(jnp.mean(accs_s)),
+            divergences=int(jnp.sum(divs_s)),
+            mean_leapfrogs=float(jnp.mean(steps_s)),
+            step_size=float(jnp.exp(c.da.log_eps)),
+            trajectory_length=float(jnp.exp(c.log_T)),
+        )
+
+    carry, outs = drive_chunks(
+        segment,
+        carry,
+        sched,
+        chunk_size=chunk_size,
+        checkpoint=checkpoint,
+        monitor=monitor,
+        stat_fn=seg_stats,
     )
-    carry, outs = seg(carry, tuple(jnp.asarray(s) for s in sched))
     qs, logps, accs, steps, divs = outs
 
     sel = slice(num_warmup + thin - 1, total, thin)

@@ -104,6 +104,9 @@ def _run_chains(
     max_depth: int = 10,
     target_accept: float = 0.8,
     thin: int = 1,
+    chunk_size: Optional[int] = None,
+    checkpoint=None,
+    monitor: Optional[Callable] = None,
 ):
     """All chains in ONE scan over steps with a vmapped step body.
 
@@ -196,8 +199,30 @@ def _run_chains(
         _adapt.welford_init(dim, dtype),
     )
     carry = (q0, da0, wf0, inv_mass0, eps0, keys)
-    carry, outs = lax.scan(
-        step, carry, (is_warm, in_slow, win_end, last_warm)
+
+    def segment(carry, sched_slice):
+        return lax.scan(step, carry, sched_slice)
+
+    def seg_stats(carry, outs):
+        _, da, _, _, eps_frozen, _ = carry
+        _, _, accs_s, steps_s, divs_s = outs
+        return dict(
+            mean_accept=float(jnp.mean(accs_s)),
+            divergences=int(jnp.sum(divs_s)),
+            mean_leapfrogs=float(jnp.mean(steps_s)),
+            step_size=float(jnp.mean(jnp.exp(da.log_eps))),
+        )
+
+    from celerite2_tpu.inference.chunked import drive_chunks
+
+    carry, outs = drive_chunks(
+        segment,
+        carry,
+        (is_warm, in_slow, win_end, last_warm),
+        chunk_size=chunk_size,
+        checkpoint=checkpoint,
+        monitor=monitor,
+        stat_fn=seg_stats,
     )
     _, _, _, inv_mass, eps_final, _ = carry
 
@@ -229,12 +254,21 @@ def run_nuts(
     target_accept: float = 0.8,
     thin: int = 1,
     chain_axis: Optional[jax.sharding.Sharding] = None,
+    chunk_size: Optional[int] = None,
+    checkpoint=None,
+    monitor: Optional[Callable] = None,
 ) -> NUTSResult:
     """Run NUTS over one or many chains.
 
     ``init_params``: (dim,) or (C, dim).  If (dim,) and ``num_chains``
     is given, chains start from jittered copies.  Pass ``chain_axis``
     (a Sharding) to lay chains out across a device mesh.
+
+    ``chunk_size`` splits the run into separately-executed segments
+    (one compiled program reused); between segments ``monitor(step,
+    stats)`` receives live acceptance/divergence/step-size stats and
+    ``checkpoint`` (a ``CheckpointManager``) persists the run so a
+    killed job resumes bit-compatibly from the last completed chunk.
     """
     init_params = jnp.asarray(init_params)
     if init_params.ndim == 1:
@@ -262,6 +296,9 @@ def run_nuts(
         max_depth=max_depth,
         target_accept=target_accept,
         thin=thin,
+        chunk_size=chunk_size,
+        checkpoint=checkpoint,
+        monitor=monitor,
     )
     return NUTSResult(
         samples=samples,

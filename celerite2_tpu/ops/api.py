@@ -137,23 +137,10 @@ def _factor_solve_bwd(res, grads):
     bd, bW_pub, bZ = grads
     J = c.shape[0]
     c_p, (U_p, V_p, W_p, bW_pub_p), _ = _bucketed(c, U, V, W, bW_pub)
-    # adjoint of the solve (consumes the solve cache F)
-    bt1, bc1, bU1, bW1, bY = _dispatch.sweep_rev_impl(
-        t, c_p, U_p, W_p, Y, Z, F, bZ, is_solve=True, upper=False
+    bt, bc, ba, bU, bV, bY = _dispatch.factor_solve_rev_impl(
+        t, c_p, a, U_p, V_p, Y, d, W_p, Z, S, F, bd, bW_pub_p, bZ
     )
-    # adjoint of the factorization; W's cotangent collects the public
-    # contribution plus the solve's use of W
-    bt2, bc2, ba, bU2, bV = _dispatch.factor_rev_impl(
-        t, c_p, a, U_p, V_p, d, W_p, S, bd, bW_pub_p + bW1
-    )
-    return (
-        bt1 + bt2,
-        (bc1 + bc2)[:J],
-        ba,
-        (bU1 + bU2)[:, :J],
-        bV[:, :J],
-        bY,
-    )
+    return bt, bc[:J], ba, bU[:, :J], bV[:, :J], bY
 
 
 factor_solve.defvjp(_factor_solve_fwd, _factor_solve_bwd)

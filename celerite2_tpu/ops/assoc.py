@@ -770,43 +770,464 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
     return bt, bc, bA, bB, bY
 
 
-@_full_precision
-def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
-    """Associative-scan twin of scan.factor_rev_scan (same outputs).
+def _frev_apply(M, par, *, affine: bool):
+    """One reverse-factor step applied to the carried matrix M.
 
-    The adjoint carry bS evolves affinely:
-      bv = bv0 + (bS + bS^T) w
-      ba = (bd - w.bv0) - w^T bS w
-      bS' = p (.) [bS - outer(u, bv) - ba outer(u, u)] (.) p
-    Lin is materialized as a J^2 x J^2 matrix by pushing basis matrices
-    through the step (exact, and cheap for J <= 4 where this path is
-    worth it; larger J dispatches to the sequential scan).
+    The step (math of reference reverse.hpp:58-81, reorganized as an
+    affine flow):
+      bv  = [bv0] + (M + M^T) w
+      ba  = [bdp] - w^T M w
+      M'  = p (.) [M - u (x) bv - ba u (x) u] (.) p
+    ``affine=False`` drops the bracketed constants (the linear part).
+    Batches over any leading dims; O(J^2) per application.
+    """
+    p, u, w, bv0, bdp = par
+    Mw = _bmv(M, w)
+    bv = Mw + _bmv(_mT(M), w)
+    ba = -jnp.sum(w * Mw, axis=-1)
+    if affine:
+        bv = bv + bv0
+        ba = ba + bdp
+    uu = u[..., :, None] * u[..., None, :]
+    mid = (
+        M
+        - u[..., :, None] * bv[..., None, :]
+        - ba[..., None, None] * uu
+    )
+    return p[..., :, None] * mid * p[..., None, :]
+
+
+def _frev_identity_params(par, n):
+    """Identity-step padding (p=1, everything else 0)."""
+    p, u, w, bv0, bdp = par
+    J = p.shape[-1]
+    return (
+        jnp.ones((n, J), p.dtype),
+        jnp.zeros((n, J), u.dtype),
+        jnp.zeros((n, J), w.dtype),
+        jnp.zeros((n, J), bv0.dtype),
+        jnp.zeros((n,), bdp.dtype),
+    )
+
+
+def _frev_suffix_states(par, *, block=None):
+    """Carry entering every reverse-factor step, for ANY J.
+
+    ``par = (p, u, w, bv0, bdp)`` in step order n = 1..N-1 (ascending);
+    steps are applied in DECREASING n.  Returns ``M_in (N-1, J, J)`` —
+    the state each step consumes (suffix composition of all later steps
+    applied to the zero initial state).
+
+    Instead of materializing each step as a (J^2, J^2) matrix (O(N J^4)
+    memory — the round-1 J<=4 limit), the steps stay *structured*
+    (O(J^2) to apply) and only per-BLOCK composed maps are densified:
+
+      A. per block, push the J^2 basis matrices + the zero state through
+         the block's steps (batched across blocks) -> dense block map;
+      B. prefix-compose the ~N/B block maps with the standard affine
+         engine;
+      C. re-run each block from its incoming composed state, emitting
+         the per-step carries.
+
+    Work O(N J^4), memory O(N J + (N/B) J^4).
+    """
+    if block is None:
+        from celerite2_tpu.config import get_config
+
+        block = get_config().engine_block
+    p = par[0]
+    M_steps = p.shape[0]
+    J = p.shape[-1]
+    dtype = p.dtype
+
+    # application order = reversed step order
+    par_app = jax.tree_util.tree_map(lambda x: x[::-1], par)
+
+    L = min(block, M_steps) or 1
+    NB = -(-M_steps // L)
+    pad = L * NB - M_steps
+    if pad:
+        ident = _frev_identity_params(par_app, pad)
+        par_app = jax.tree_util.tree_map(
+            lambda x, i: jnp.concatenate([x, i], axis=0), par_app, ident
+        )
+
+    def to_lm(x):
+        x = x.reshape((NB, L) + x.shape[1:])
+        return jnp.swapaxes(x, 0, 1)
+
+    par_lm = jax.tree_util.tree_map(to_lm, par_app)  # leaves (L, NB, ...)
+
+    # ---- phase A: block maps via basis propagation
+    basis = jnp.eye(J * J, dtype=dtype).reshape(J * J, J, J)
+    basis = jnp.broadcast_to(basis[None], (NB, J * J, J, J))
+    const = jnp.zeros((NB, J, J), dtype)
+
+    def stepA(carry, par_n):
+        Bas, Con = carry
+        par_ch = jax.tree_util.tree_map(
+            lambda x: x[:, None, ...], par_n
+        )  # broadcast over the J^2 basis channels
+        Bas = _frev_apply(Bas, par_ch, affine=False)
+        Con = _frev_apply(Con, par_n, affine=True)
+        return (Bas, Con), None
+
+    (BasF, ConF), _ = lax.scan(stepA, (basis, const), par_lm)
+    # column k of the block map = vec of the image of basis matrix k
+    L_blk = jnp.swapaxes(BasF.reshape(NB, J * J, J * J), -1, -2)
+    c_blk = ConF.reshape(NB, J * J)
+
+    # ---- phase B: compose block maps (application order)
+    with jax.default_matmul_precision("highest"):
+        L_pref, c_pref = _engine_scan(
+            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine
+        )
+    # exclusive prefix applied to the zero init -> incoming block state
+    c_excl = jnp.concatenate(
+        [jnp.zeros_like(c_pref[:1]), c_pref[:-1]], axis=0
+    )
+    M_in_blk = c_excl.reshape(NB, J, J)
+
+    # ---- phase C: emit the carry entering each step
+    def stepC(carry, par_n):
+        out = carry
+        carry = _frev_apply(carry, par_n, affine=True)
+        return carry, out
+
+    _, M_pre = lax.scan(stepC, M_in_blk, par_lm)  # (L, NB, J, J)
+    M_in_app = jnp.swapaxes(M_pre, 0, 1).reshape(NB * L, J, J)[:M_steps]
+    return M_in_app[::-1]
+
+
+# ------------------------------------------------- paired reverse pass
+#
+# The fused log-likelihood backward needs the solve adjoint
+# (internal.hpp:191-303 math) THEN the factor adjoint
+# (reverse.hpp:10-85 math) — two engine passes if run separately,
+# coupled through bW: the solve's gradient w.r.t. W feeds the factor
+# reverse one row later.  Both carries evolve affinely, and the
+# coupling is causal in the shared (decreasing-n) step order, so ONE
+# structured affine state
+#
+#     x = [bF (J), dbR (1), dbB (J), vec(bS) (J^2)]
+#
+# runs the whole backward in a single two-level pass (K = 1, the
+# log-likelihood case).  dbR / dbB are the one-step deferrals: the
+# solve contribution to the next row's bz and bW respectively.
+
+
+def _pair_dim(J):
+    return 2 * J + 1 + J * J
+
+
+def _pair_rev_apply(x, par, *, affine: bool):
+    """One joint (solve + factor) reverse step on the flat state x.
+
+    ``par = (p, u, w, w_prev, z_prev, bZn, bWn, bdn, dinv)`` — per-step
+    row data (constants only enter when ``affine``).  Batches over
+    leading dims; O(J^2) per application.
+    """
+    p, u, w, w_prev, z_prev, bZn, bWn, bdn, dinv = par
+    J = p.shape[-1]
+    bF = x[..., :J]
+    dbR = x[..., J]
+    dbB = x[..., J + 1 : 2 * J + 1]
+    M = x[..., 2 * J + 1 :].reshape(x.shape[:-1] + (J, J))
+
+    # solve part
+    bz = dbR + (bZn if affine else 0.0)
+    bF_mid = bF - u * bz[..., None]
+    bF_out = p * bF_mid
+    dbR_out = jnp.sum(bF_out * w_prev, axis=-1)
+    dbB_out = bF_out * z_prev[..., None]
+
+    # factor part (consumes the dbB deferred by the later solve step)
+    bv0 = dbB * dinv[..., None]
+    bdp = -jnp.sum(w * bv0, axis=-1)
+    if affine:
+        bv0 = bv0 + bWn * dinv[..., None]
+        bdp = bdp + bdn - jnp.sum(w * bWn, axis=-1) * dinv
+    M_out = _frev_apply(M, (p, u, w, bv0, bdp), affine=True)
+    # (bv0/bdp already carry the affine constants; _frev_apply's own
+    # affine flag just includes them in bv/ba, which is always wanted)
+
+    return jnp.concatenate(
+        [
+            bF_out,
+            dbR_out[..., None],
+            dbB_out,
+            M_out.reshape(x.shape[:-1] + (J * J,)),
+        ],
+        axis=-1,
+    )
+
+
+def _pair_identity_params(par, n):
+    p = par[0]
+    J = p.shape[-1]
+    f = p.dtype
+    zJ = jnp.zeros((n, J), f)
+    z = jnp.zeros((n,), f)
+    return (jnp.ones((n, J), f), zJ, zJ, zJ, z, z, zJ, z, z)
+
+
+def _structured_suffix_states(apply_fn, identity_fn, par, dim,
+                              *, block=None):
+    """Incoming flat state for every step of a structured affine suffix
+    flow (generic twin of :func:`_frev_suffix_states`).
+
+    ``apply_fn(x, par, affine=...)`` applies one step to flat states x
+    (any leading batch dims); steps given in step order (ascending) are
+    applied in DESCENDING order.  Returns (x_in (M, dim), x_final
+    (dim,)) — per-step incoming states and the state after ALL steps.
+    """
+    if block is None:
+        from celerite2_tpu.config import get_config
+
+        block = get_config().engine_block
+    p = par[0]
+    M_steps = p.shape[0]
+    dtype = p.dtype
+
+    par_app = jax.tree_util.tree_map(lambda x: x[::-1], par)
+    L = min(block, M_steps) or 1
+    NB = -(-M_steps // L)
+    pad = L * NB - M_steps
+    if pad:
+        # padding steps sit AFTER every real step in application order;
+        # no real row consumes their (zeroed) deferrals
+        ident = identity_fn(par_app, pad)
+        par_app = jax.tree_util.tree_map(
+            lambda x, i: jnp.concatenate([x, i], axis=0), par_app, ident
+        )
+
+    def to_lm(x):
+        x = x.reshape((NB, L) + x.shape[1:])
+        return jnp.swapaxes(x, 0, 1)
+
+    par_lm = jax.tree_util.tree_map(to_lm, par_app)
+
+    basis = jnp.broadcast_to(
+        jnp.eye(dim, dtype=dtype)[None], (NB, dim, dim)
+    )
+    const = jnp.zeros((NB, dim), dtype)
+
+    def stepA(carry, par_n):
+        Bas, Con = carry
+        par_ch = jax.tree_util.tree_map(lambda x: x[:, None], par_n)
+        Bas = apply_fn(Bas, par_ch, affine=False)
+        Con = apply_fn(Con, par_n, affine=True)
+        return (Bas, Con), None
+
+    (BasF, ConF), _ = lax.scan(stepA, (basis, const), par_lm)
+    L_blk = jnp.swapaxes(BasF, -1, -2)  # column k = image of e_k
+    c_blk = ConF
+
+    with jax.default_matmul_precision("highest"):
+        _, c_pref = _engine_scan(
+            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine
+        )
+    c_excl = jnp.concatenate(
+        [jnp.zeros_like(c_pref[:1]), c_pref[:-1]], axis=0
+    )
+    x_in_blk = c_excl[..., 0]
+
+    def stepC(carry, par_n):
+        out = carry
+        carry = apply_fn(carry, par_n, affine=True)
+        return carry, out
+
+    _, x_pre = lax.scan(stepC, x_in_blk, par_lm)
+    x_in = jnp.swapaxes(x_pre, 0, 1).reshape(NB * L, dim)[:M_steps]
+    x_in = x_in[::-1]
+    # state after ALL steps: apply the last-applied step (step order 0)
+    # explicitly — the in-block final carry would include padding steps,
+    # which are NOT identities on the deferral components
+    first_par = jax.tree_util.tree_map(lambda x: x[0], par)
+    x_fin = apply_fn(x_in[0], first_par, affine=True)
+    return x_in, x_fin
+
+
+def _pair_dense_elements(par, dim):
+    """Densify paired-flow steps: per-row (dim, dim) linear map built by
+    pushing the dim basis vectors through :func:`_pair_rev_apply` in ONE
+    vectorized call (outside any scan), plus the (dim,) constant."""
+    p = par[0]
+    M_steps = p.shape[0]
+    dtype = p.dtype
+    basis = jnp.broadcast_to(
+        jnp.eye(dim, dtype=dtype)[None], (M_steps, dim, dim)
+    )
+    par_ch = jax.tree_util.tree_map(lambda x: x[:, None], par)
+    cols = _pair_rev_apply(basis, par_ch, affine=False)
+    Lmat = jnp.swapaxes(cols, -1, -2)  # column k = image of e_k
+    cvec = _pair_rev_apply(jnp.zeros((M_steps, dim), dtype), par,
+                           affine=True)
+    return Lmat, cvec
+
+
+def _pair_dense_suffix_states(par, dim):
+    """Dense variant of the paired suffix flow for small state dims.
+
+    Memory O(N dim^2): the fastest path while dim^2 stays small
+    (J <= 4 -> dim <= 25).
+    """
+    p = par[0]
+    M_steps = p.shape[0]
+    dtype = p.dtype
+    Lmat, cvec = _pair_dense_elements(par, dim)
+    _, x_aft = _suffix_states(
+        (Lmat, cvec[..., None]), _mat_affine_combine, _id_affine,
+        reverse=True,
+    )
+    x_aft = x_aft[..., 0]  # state AFTER each step (suffix incl.)
+    # carry entering step n = state after step n+1
+    x_in = jnp.concatenate(
+        [x_aft[1:], jnp.zeros((1, dim), dtype)], axis=0
+    )
+    x_fin = x_aft[0] if M_steps else jnp.zeros((dim,), dtype)
+    return x_in, x_fin
+
+
+def _pair_unpack(x, J):
+    """Split the flat paired state into (bF, dbR, dbB, M)."""
+    bF = x[..., :J]
+    dbR = x[..., J]
+    dbB = x[..., J + 1 : 2 * J + 1]
+    M = x[..., 2 * J + 1 :].reshape(x.shape[:-1] + (J, J))
+    return bF, dbR, dbB, M
+
+
+def _pair_row_outputs(x_in, p, u, w, F_rows, S_half, bZ_s, bW_s, bd_s,
+                      dinv_s):
+    """Per-step outputs of the paired reverse flow given the incoming
+    states (shared by the single-device and sequence-sharded paths).
+
+    Returns ``(bz, bU, bv, ba, bp)`` — the accumulated RHS cotangent,
+    the U cotangent (solve + factor parts), the V cotangent, the diag
+    cotangent, and the per-step transport cotangent (for bc/bt).
+    """
+    J = p.shape[-1]
+    bF_in, dbR_in, dbB_in, M_in = _pair_unpack(x_in, J)
+
+    # solve part
+    bz = bZ_s + dbR_in
+    bF_mid = bF_in - u * bz[..., None]
+    bU1 = -(p * F_rows) * bz[..., None]
+    bp1 = F_rows * bF_mid * p  # K = 1: the K-sum is elementwise
+
+    # factor part
+    bv0 = (bW_s + dbB_in) * dinv_s[..., None]
+    bdp = bd_s - jnp.sum(w * bv0, axis=-1)
+    bv = bv0 + _bmv(M_in + _mT(M_in), w)
+    ba = bdp - jnp.sum(w * _bmv(M_in, w), axis=-1)
+    S_full = S_half * p[..., None, :]
+    bU2 = -_bmv(S_full, bv + 2.0 * ba[..., None] * u)
+    mid = (
+        M_in
+        - u[..., :, None] * bv[..., None, :]
+        - ba[..., None, None] * (u[..., :, None] * u[..., None, :])
+    )
+    bp2 = (
+        jnp.einsum("...ik,...ki->...i", mid, S_half)
+        + jnp.einsum("...ki,...ki->...i", S_half, mid)
+    ) * p
+    return bz, bU1 + bU2, bv, ba, bp1 + bp2
+
+
+@_full_precision
+def factor_solve_rev_assoc(
+    t, c, a, U, V, Y, d, W, Z, S, F, bd, bW_pub, bZ
+):
+    """Paired reverse of the fused factor+solve (K = 1): the solve and
+    factor adjoints in ONE structured engine pass.
+
+    Outputs match running ``sweep_rev`` (solve, lower) followed by
+    ``factor_rev`` with ``bW = bW_pub + (solve's bB)`` — the two-pass
+    path used by the generic tiers — to float precision.
     """
     del a, V
     N, J = U.shape
     dtype = U.dtype
     phi = transport(t, c)
     dts = jnp.concatenate([jnp.zeros((1,), t.dtype), -jnp.diff(t)])
-    bv0 = bW / d[:, None]
-    bdp = bd - jnp.einsum("nj,nj->n", W, bv0)
+    dinv = 1.0 / _safe(d)
+    y1 = bZ[..., 0] if bZ.ndim == 2 else bZ
+    Zv = Z[..., 0] if Z.ndim == 2 else Z
 
-    # step parameters for n = 1..N-1
-    p = phi[1:]
-    u = U[1:]
-    w = W[1:]
-    bv0n = bv0[1:]
-    bdpn = bdp[1:]
+    # per-step rows n = 1..N-1
+    par = (
+        phi[1:],
+        U[1:],
+        W[1:],
+        W[:-1],
+        Zv[:-1],
+        y1[1:],
+        bW_pub[1:],
+        bd[1:],
+        dinv[1:],
+    )
+    dim = _pair_dim(J)
+    if J <= 4:
+        x_in, x_fin = _pair_dense_suffix_states(par, dim)
+    else:
+        x_in, x_fin = _structured_suffix_states(
+            _pair_rev_apply, _pair_identity_params, par, dim
+        )
 
-    # The step is affine in the carried J x J matrix M:
-    #   bv  = bv0 + (M + M^T) w
-    #   ba  = bdp - w^T M w
-    #   M3  = p (.) [M - u (x) bv - ba u (x) u] (.) p
-    # Its linear part as an explicit J^2 x J^2 operator (closed form —
-    # building it by pushing basis matrices through a traced step_map
-    # makes the graph ~J^2 larger and dominates NUTS compile times):
-    #   dM3[jk]/dM[lm] = p_j p_k [ d_jl d_km
-    #                              - u_j (d_kl w_m + d_km w_l)
-    #                              + u_j u_k w_l w_m ]
+    bz, bU_steps, bv, ba, bp = _pair_row_outputs(
+        x_in,
+        phi[1:],
+        U[1:],
+        W[1:],
+        F[1:, :, 0],
+        S[1:],
+        y1[1:],
+        bW_pub[1:],
+        bd[1:],
+        dinv[1:],
+    )
+    bc = jnp.sum(bp * dts[1:, None], axis=0)
+    ft = bp @ c
+
+    # ---- row 0 boundary (uses the state after ALL steps)
+    if N > 1:
+        _, dbR_fin, dbB_fin, M0 = _pair_unpack(x_fin, J)
+    else:
+        dbR_fin = jnp.zeros((), dtype)
+        dbB_fin = jnp.zeros((J,), dtype)
+        M0 = jnp.zeros((J, J), dtype)
+    bY0 = y1[0] + dbR_fin
+    bv0_0 = (bW_pub[0] + dbB_fin) * dinv[0]
+    bv_0 = bv0_0 + (M0 + M0.T) @ W[0]
+    ba_0 = (
+        bd[0]
+        - W[0] @ bv0_0
+        + W[0] @ (M0 @ W[0])
+        - W[0] @ ((M0 + M0.T) @ W[0])
+    )
+
+    ba_out = jnp.concatenate([ba_0[None], ba])
+    bV_out = jnp.concatenate([bv_0[None], bv])
+    bU_out = jnp.concatenate([jnp.zeros((1, J), dtype), bU_steps])
+    bY_out = jnp.concatenate([bY0[None], bz])[:, None]
+    ft_full = jnp.concatenate(
+        [jnp.zeros((1,), t.dtype), ft, jnp.zeros((1,), t.dtype)]
+    )
+    bt = ft_full[1:] - ft_full[:-1]
+    return bt, bc, ba_out, bU_out, bV_out, bY_out
+
+
+def _frev_suffix_states_dense(p, u, w, bv0n, bdpn):
+    """Dense small-J variant of :func:`_frev_suffix_states`: the step's
+    linear part as an explicit J^2 x J^2 operator (closed form):
+      dM'[jk]/dM[lm] = p_j p_k [ d_jl d_km
+                                 - u_j (d_kl w_m + d_km w_l)
+                                 + u_j u_k w_l w_m ]
+    O(N J^4) element memory — the fastest path for J <= 4 where the
+    (J^2, J^2) matmuls are tiny."""
+    J = p.shape[-1]
+    dtype = p.dtype
     delta = jnp.eye(J, dtype=dtype)
     T1 = (
         delta[:, None, :, None] * delta[None, :, None, :]
@@ -830,16 +1251,47 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
         - bdpn[:, None, None] * (u[:, :, None] * u[:, None, :])
     )
     Cv = (p[:, :, None] * mid0 * p[:, None, :]).reshape(-1, J * J)
-    # keep the affine constant as a column matrix so the batched
-    # matmul in the combine contracts correctly
     _, R = _suffix_states(
         (L, Cv[..., None]), _mat_affine_combine, _id_affine,
         reverse=True
     )
     R = R.reshape(-1, J, J)  # bS after each step (applied to zero init)
-
     # carry entering step n = state after step n+1
-    M_in = jnp.concatenate([R[1:], jnp.zeros((1, J, J), dtype)], axis=0)
+    return jnp.concatenate(
+        [R[1:], jnp.zeros((1, J, J), dtype)], axis=0
+    )
+
+
+@_full_precision
+def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
+    """Associative twin of scan.factor_rev_scan (same outputs), any J.
+
+    The adjoint carry bS evolves affinely (see :func:`_frev_apply`);
+    the structured two-level engine (:func:`_frev_suffix_states`)
+    parallelizes the suffix composition without the O(N J^4) element
+    materialization that limited round 1 to J <= 4.
+    """
+    del a, V
+    N, J = U.shape
+    dtype = U.dtype
+    phi = transport(t, c)
+    dts = jnp.concatenate([jnp.zeros((1,), t.dtype), -jnp.diff(t)])
+    bv0 = bW / d[:, None]
+    bdp = bd - jnp.einsum("nj,nj->n", W, bv0)
+
+    # step parameters for n = 1..N-1
+    p = phi[1:]
+    u = U[1:]
+    w = W[1:]
+    bv0n = bv0[1:]
+    bdpn = bdp[1:]
+
+    if J <= 4:
+        # measured faster at small J: materialize the (J^2, J^2) linear
+        # part per row (closed form) and run the dense affine engine
+        M_in = _frev_suffix_states_dense(p, u, w, bv0n, bdpn)
+    else:
+        M_in = _frev_suffix_states((p, u, w, bv0n, bdpn))
 
     bv = bv0n + _bmv(M_in + jnp.swapaxes(M_in, 1, 2), w)
     ba = bdpn - jnp.sum(w * _bmv(M_in, w), axis=-1)
@@ -859,8 +1311,16 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     bc = jnp.sum(bp * dts[1:, None], axis=0)
     ft = bp @ c
 
-    # row 0 boundary (uses the state after step 1 = R[0])
-    M0 = R[0] if N > 1 else jnp.zeros((J, J), dtype)
+    # row 0 boundary: the state after step 1 (the full composition)
+    M0 = (
+        _frev_apply(
+            M_in[0],
+            (p[0], u[0], w[0], bv0n[0], bdpn[0]),
+            affine=True,
+        )
+        if N > 1
+        else jnp.zeros((J, J), dtype)
+    )
     bv_0 = bv0[0] + (M0 + M0.T) @ W[0]
     ba_0 = bd[0] + W[0] @ (M0 @ W[0]) - bv_0 @ W[0]
 

@@ -224,7 +224,13 @@ def factor_solve_impl(t, c, a, U, V, Y):
         if b == "assoc":
             from celerite2_tpu.ops import assoc as _assoc
 
-            return _assoc.factor_solve_assoc(t, c, a, U, V, Y)
+            if get_config().fused_forward:
+                return _assoc.factor_solve_assoc(t, c, a, U, V, Y)
+            # measured faster on v5e: two lean engine passes beat one
+            # fat fused pass at small J
+            d, W, S = _assoc.factor_assoc(t, c, a, U, V)
+            Z, F = _assoc.solve_lower_assoc(t, c, U, W, Y)
+            return d, W, Z, S, F
         if b == "pallas":
             # no fused pallas kernel: compose the two pallas passes
             d, W, S = factor_impl(t, c, a, U, V)
@@ -277,29 +283,49 @@ def factor_rev_impl(t, c, a, U, V, d, W, S, bd, bW):
 
 def _factor_rev_routed(b, t, c, a, U, V, d, W, S, bd, bW):
     if b == "pallas":
-        name = (
-            "factor_rev_packed"
-            if _packable(U.shape[1])
-            else "factor_rev_pallas"
-        )
-        return _pallas(name)(t, c, a, U, V, d, W, S, bd, bW)
-    # the J^2-dim affine elements cost O(N J^4) memory; only worth it
-    # (and affordable) for small J where latency dominates
-    if b == "assoc":
-        if U.shape[1] <= 4:
-            from celerite2_tpu.ops import assoc as _assoc
-
-            return _assoc.factor_rev_assoc(
+        if _packable(U.shape[1]):
+            return _pallas("factor_rev_packed")(
                 t, c, a, U, V, d, W, S, bd, bW
             )
-        if _on_tpu():
-            # wide J on TPU: the sequential scan costs seconds; the
-            # tiled pallas kernel shares the standard cache convention
-            return _pallas(
-                "factor_rev_pallas",
-                block=_rev_block_for(U.shape[1], U.dtype.itemsize),
-            )(t, c, a, U, V, d, W, S, bd, bW)
+        _warn_unpacked("factor_rev", U.shape[1], None)
+        return _pallas(
+            "factor_rev_pallas",
+            block=_rev_block_for(U.shape[1], U.dtype.itemsize),
+        )(t, c, a, U, V, d, W, S, bd, bW)
+    if b == "assoc":
+        # the structured reverse engine keeps steps O(J^2) to apply and
+        # densifies only per-block maps, so it serves ALL widths (the
+        # round-1 J<=4 materialization limit is gone)
+        from celerite2_tpu.ops import assoc as _assoc
+
+        return _assoc.factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW)
     return _scan.factor_rev_scan(t, c, a, U, V, d, W, S, bd, bW)
+
+
+def factor_solve_rev_impl(
+    t, c, a, U, V, Y, d, W, Z, S, F, bd, bW_pub, bZ
+):
+    """Reverse of the fused factor+solve: one paired engine pass on the
+    assoc tier (K = 1), else the chained solve-then-factor adjoints."""
+    b = _backend(t.shape[0], bZ)
+    if (
+        b == "assoc"
+        and Y.shape[1] == 1
+        and get_config().paired_reverse
+    ):
+        from celerite2_tpu.ops import assoc as _assoc
+
+        with jax.named_scope("celerite2.factor_solve_rev.assoc"):
+            return _assoc.factor_solve_rev_assoc(
+                t, c, a, U, V, Y, d, W, Z, S, F, bd, bW_pub, bZ
+            )
+    bt1, bc1, bU1, bW1, bY = sweep_rev_impl(
+        t, c, U, W, Y, Z, F, bZ, is_solve=True, upper=False
+    )
+    bt2, bc2, ba, bU2, bV = factor_rev_impl(
+        t, c, a, U, V, d, W, S, bd, bW_pub + bW1
+    )
+    return bt1 + bt2, bc1 + bc2, ba, bU1 + bU2, bV, bY
 
 
 def sweep_rev_impl(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):

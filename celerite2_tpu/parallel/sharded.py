@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from functools import partial
+
 from celerite2_tpu.gp import LOG2PI
 from celerite2_tpu.ops.assoc import (
     _bmm,
@@ -40,12 +42,27 @@ from celerite2_tpu.ops.assoc import (
     _id_affine,
     _id_riccati,
     _mat_affine_combine,
+    _pair_dense_elements,
+    _pair_dim,
+    _pair_row_outputs,
     _riccati_combine,
     _small_inv,
+    _suffix_states,
 )
 from celerite2_tpu.ops.scan import _safe
 
-__all__ = ["sharded_loglik", "make_sharded_logdensity"]
+__all__ = [
+    "sharded_loglik",
+    "sharded_factor",
+    "sharded_solve_lower",
+    "sharded_solve_upper",
+    "sharded_matmul_lower",
+    "sharded_matmul_upper",
+    "sharded_apply_inverse",
+    "sharded_dot_tril",
+    "sharded_predict_mean",
+    "make_sharded_logdensity",
+]
 
 
 def _prefix_incoming(blocks, idx, combine, identity):
@@ -70,7 +87,24 @@ def sharded_loglik(t, c, a, U, V, resid, *, axis_name="seq"):
     ``U/V (B, J)``, ``resid (B,)`` local shards (global N = B * n_dev)
     and replicated ``c (J,)``.  Returns the replicated scalar
     log-likelihood.
+
+    Reverse mode uses the HAND-DERIVED sharded adjoint (custom VJP):
+    the paired solve+factor reverse flow runs as per-shard suffix maps
+    with one O(D^2)-sized map exchange (D = J^2 + 2J + 1) — O(B J^2)
+    memory per shard instead of autodiff taping every engine
+    intermediate (role of reference reverse.hpp:10-85 +
+    internal.hpp:191-303, sequence-sharded).
     """
+    return _sharded_loglik_vjp(axis_name, t, c, a, U, V, resid)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sharded_loglik_vjp(axis_name, t, c, a, U, V, resid):
+    ll, _ = _sharded_forward(axis_name, t, c, a, U, V, resid)
+    return ll
+
+
+def _sharded_forward(axis_name, t, c, a, U, V, resid):
     B, J = U.shape
     dtype = U.dtype
     idx = lax.axis_index(axis_name)
@@ -166,13 +200,403 @@ def sharded_loglik(t, c, a, U, V, resid, *, axis_name="seq"):
     z = resid - jnp.sum(U * F_post, axis=-1)
     quad_local = jnp.sum(z**2 / _safe(d))
 
+    # ---- caches in the standard reverse conventions
+    # S_half_r = phi_r (.) (S_full_{r-1} + d_{r-1} w_{r-1} w_{r-1}^T);
+    # boundary rows come from the left neighbour (ppermute fills zeros
+    # for shard 0, and phi row 0 there is zero anyway)
+    S_in_b = lax.ppermute(S_full[-1], axis_name, right)
+    d_in_b = lax.ppermute(d[-1], axis_name, right)
+    S_prev = jnp.concatenate([S_in_b[None], S_full[:-1]])
+    d_prev = jnp.concatenate([d_in_b[None], d[:-1]])
+    S_half = phi[:, :, None] * (
+        S_prev
+        + d_prev[:, None, None]
+        * (W_prev[:, :, None] * W_prev[:, None, :])
+    )
+    z_in_b = lax.ppermute(z[-1], axis_name, right)
+    z_prev = jnp.concatenate([z_in_b[None], z[:-1]])
+    F_prev = jnp.concatenate(
+        [lax.ppermute(F_post[-1], axis_name, right)[None], F_post[:-1]]
+    )
+    F_pre = F_prev + W_prev * z_prev[:, None]
+    dts = t - t_prev
+
     # ---- reduce
     logdet = lax.psum(logdet_local, axis_name)
     quad = lax.psum(quad_local, axis_name)
     ok = lax.psum(ok_local.astype(jnp.int32), axis_name) == n_dev
     n_total = B * n_dev
     ll = -0.5 * (logdet + quad + n_total * LOG2PI)
-    return jnp.where(ok, ll, -jnp.inf)
+    ll = jnp.where(ok, ll, -jnp.inf)
+    return ll, (U, W, d, z, S_half, F_pre, phi, dts, c, ok)
+
+
+def _sharded_loglik_fwd(axis_name, t, c, a, U, V, resid):
+    ll, res = _sharded_forward(axis_name, t, c, a, U, V, resid)
+    return ll, res
+
+
+def _sharded_loglik_bwd(axis_name, res, bll):
+    """Hand-derived adjoint of the sharded fused log-likelihood.
+
+    The paired reverse flow (ops.assoc._pair_rev_apply) runs globally in
+    DECREASING row order; per shard it becomes: densify local steps,
+    compose in-shard suffix maps, all_gather ONE (D, D) map per shard to
+    obtain the incoming cross-shard state, then evaluate all per-row
+    outputs locally.  Every local row is a step; the global first row is
+    a phantom step (phi = 0) whose row outputs reduce exactly to the
+    boundary formulas.  Traffic: O(n_dev D^2) floats, one ppermute for
+    the bt stencil.
+    """
+    U, W, d, z, S_half, F_pre, phi, dts, c, ok = res
+    B, J = U.shape
+    dtype = U.dtype
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right = [(k, k + 1) for k in range(n_dev - 1)]
+    left = [(k + 1, k) for k in range(n_dev - 1)]
+
+    # direct cotangents of the elementwise head (quiet -inf => zero)
+    scale = jnp.where(ok, bll, jnp.zeros_like(bll))
+    safe_d = _safe(d)
+    bd_s = scale * (-0.5) * (1.0 / safe_d - (z / safe_d) ** 2)
+    bz_cot = -scale * z / safe_d
+    dinv = 1.0 / safe_d
+
+    w_prev = jnp.concatenate(
+        [lax.ppermute(W[-1], axis_name, right)[None], W[:-1]]
+    )
+    z_prev = jnp.concatenate(
+        [lax.ppermute(z[-1], axis_name, right)[None], z[:-1]]
+    )
+
+    par = (
+        phi,
+        U,
+        W,
+        w_prev,
+        z_prev,
+        bz_cot,
+        jnp.zeros_like(W),  # the log-likelihood exposes no bW
+        bd_s,
+        dinv,
+    )
+    dim = _pair_dim(J)
+    Lmat, cvec = _pair_dense_elements(par, dim)
+    A_suf, b_suf = _suffix_states(
+        (Lmat, cvec[..., None]), _mat_affine_combine, _id_affine,
+        reverse=True,
+    )
+    b_suf = b_suf[..., 0]
+
+    # cross-shard incoming state: compose the later shards' total maps
+    # (higher shard index = larger rows = applied earlier)
+    gA = lax.all_gather(A_suf[0], axis_name)
+    gb = lax.all_gather(b_suf[0], axis_name)
+    accA = jnp.eye(dim, dtype=dtype)
+    accb = jnp.zeros((dim,), dtype)
+    for k in range(n_dev - 1, -1, -1):
+        newA = gA[k] @ accA
+        newb = gA[k] @ accb + gb[k]
+        take = k > idx
+        accA = jnp.where(take, newA, accA)
+        accb = jnp.where(take, newb, accb)
+    x_shard_in = accb  # composed flow applied to the zero init
+
+    # per-row incoming states: steps r+1..B-1 applied to x_shard_in
+    A_shift = jnp.concatenate(
+        [A_suf[1:], jnp.eye(dim, dtype=dtype)[None]]
+    )
+    b_shift = jnp.concatenate([b_suf[1:], jnp.zeros((1, dim), dtype)])
+    x_in = _bmv(A_shift, jnp.broadcast_to(x_shard_in, (B, dim)))
+    x_in = x_in + b_shift
+
+    bz, bU, bV, ba, bp = _pair_row_outputs(
+        x_in, phi, U, W, F_pre, S_half, bz_cot,
+        jnp.zeros_like(W), bd_s, dinv,
+    )
+    bc = lax.psum(jnp.sum(bp * (-dts)[:, None], axis=0), axis_name)
+    ft = bp @ c
+    # bt[r] = ft[r+1] - ft[r]; the r+1 of the shard's last row lives on
+    # the right neighbour (zero past the global end)
+    ft_next = jnp.concatenate(
+        [ft[1:], lax.ppermute(ft[0], axis_name, left)[None]]
+    )
+    bt = ft_next - ft
+    return bt, bc, ba, bU, bV, bz
+
+
+_sharded_loglik_vjp.defvjp(_sharded_loglik_fwd, _sharded_loglik_bwd)
+
+
+# ===================================== sharded GP op surface (K = 1)
+#
+# dot_tril / apply_inverse / predict-mean on sequence-sharded data:
+# the same three-phase pattern (local prefix; one O(J..J^2) map per
+# shard exchanged; local apply).  Gradients go through autodiff here —
+# these are cold paths with O(B J) tapes; only the log-likelihood hot
+# path carries the hand-derived adjoint above.
+
+
+def _right_left(n_dev):
+    right = [(k, k + 1) for k in range(n_dev - 1)]
+    left = [(k + 1, k) for k in range(n_dev - 1)]
+    return right, left
+
+
+def _prev_rows(x, axis_name, right):
+    """x shifted one row later; the boundary row comes from the left
+    neighbour (zeros on shard 0)."""
+    return jnp.concatenate(
+        [lax.ppermute(x[-1], axis_name, right)[None], x[:-1]]
+    )
+
+
+def _next_rows(x, axis_name, left):
+    """x shifted one row earlier; the boundary row comes from the right
+    neighbour (zeros on the last shard)."""
+    return jnp.concatenate(
+        [x[1:], lax.ppermute(x[0], axis_name, left)[None]]
+    )
+
+
+def _sharded_transport(axis_name, t, c, right):
+    """phi (B, J) against the previous GLOBAL row; first row zeroed."""
+    idx = lax.axis_index(axis_name)
+    B = t.shape[0]
+    t_prev = _prev_rows(t, axis_name, right)
+    phi = jnp.exp(-c[None, :] * (t - t_prev)[:, None])
+    first = jnp.logical_and(idx == 0, jnp.arange(B)[:, None] == 0)
+    return jnp.where(first, jnp.zeros_like(phi), phi)
+
+
+def _sharded_transport_up(axis_name, t, c, left):
+    """phi_up (B, J) against the next GLOBAL row; last row zeroed."""
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    B = t.shape[0]
+    t_next = _next_rows(t, axis_name, left)
+    phi = jnp.exp(-c[None, :] * (t_next - t)[:, None])
+    last = jnp.logical_and(
+        idx == n_dev - 1, jnp.arange(B)[:, None] == B - 1
+    )
+    return jnp.where(last, jnp.zeros_like(phi), phi)
+
+
+def _fold_shards(gA, gb, idx, *, later_first):
+    """Masked fold of per-shard affine maps into this shard's incoming
+    state (applied to a zero initial state)."""
+    n_dev = gA.shape[0]
+    dim = gA.shape[-1]
+    accA = jnp.eye(dim, dtype=gA.dtype)
+    accb = jnp.zeros((dim,), gb.dtype)
+    order = range(n_dev - 1, -1, -1) if later_first else range(n_dev)
+    for k in order:
+        newA = gA[k] @ accA
+        newb = gA[k] @ accb + gb[k]
+        take = (k > idx) if later_first else (k < idx)
+        accA = jnp.where(take, newA, accA)
+        accb = jnp.where(take, newb, accb)
+    return accb
+
+
+def sharded_factor(t, c, a, U, V, *, axis_name="seq"):
+    """Sequence-sharded LDL^T: returns ``(d, W, ok)`` local shards."""
+    B, J = U.shape
+    dtype = U.dtype
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right, _ = _right_left(n_dev)
+
+    a_prev = _prev_rows(a, axis_name, right)
+    U_prev = _prev_rows(U, axis_name, right)
+    V_prev = _prev_rows(V, axis_name, right)
+    phi = _sharded_transport(axis_name, t, c, right)
+
+    I = jnp.eye(J, dtype=dtype)
+    al = _safe(a_prev)[:, None, None]
+    A_r = phi[:, :, None] * (
+        I[None] - V_prev[:, :, None] * U_prev[:, None, :] / al
+    )
+    Q_r = (
+        phi[:, :, None]
+        * (V_prev[:, :, None] * V_prev[:, None, :] / al)
+        * phi[:, None, :]
+    )
+    R_r = -U_prev[:, :, None] * U_prev[:, None, :] / al
+    pref = _engine_scan(_riccati_combine, (A_r, Q_r, R_r), _id_riccati)
+    blocks = jax.tree_util.tree_map(
+        lambda x: lax.all_gather(x[-1], axis_name), pref
+    )
+    S_identity = (I, jnp.zeros((J, J), dtype), jnp.zeros((J, J), dtype))
+    e_in = _prefix_incoming(blocks, idx, _riccati_combine, S_identity)
+    S_in = e_in[1]
+    Ap, Qp, Rp = pref
+    G = _small_inv(I[None] + _bmm(Rp, jnp.broadcast_to(S_in, Rp.shape)))
+    S_full = Qp + _bmm(
+        _bmm(Ap, _bmm(jnp.broadcast_to(S_in, Rp.shape), G)),
+        jnp.swapaxes(Ap, -1, -2),
+    )
+    d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
+    W = (V - _bmv(S_full, U)) / _safe(d)[:, None]
+    ok = (
+        lax.psum(jnp.all(d > 0).astype(jnp.int32), axis_name) == n_dev
+    )
+    return d, W, ok
+
+
+def sharded_solve_lower(t, c, U, W, y, *, axis_name="seq"):
+    """z = L^{-1} y on sequence shards (vector RHS)."""
+    B, J = U.shape
+    dtype = U.dtype
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right, _ = _right_left(n_dev)
+
+    phi = _sharded_transport(axis_name, t, c, right)
+    U_prev = _prev_rows(U, axis_name, right)
+    W_prev = _prev_rows(W, axis_name, right)
+    y_prev = _prev_rows(y, axis_name, right)
+
+    I = jnp.eye(J, dtype=dtype)
+    A_el = phi[:, :, None] * (
+        I[None] - W_prev[:, :, None] * U_prev[:, None, :]
+    )
+    b_el = phi * (W_prev * y_prev[:, None])
+    Apf, bpf = _engine_scan(
+        _mat_affine_combine, (A_el, b_el[..., None]), _id_affine
+    )
+    gA = lax.all_gather(Apf[-1], axis_name)
+    gb = lax.all_gather(bpf[-1, :, 0], axis_name)
+    F_in = _fold_shards(gA, gb, idx, later_first=False)
+    F_post = _bmv(Apf, jnp.broadcast_to(F_in, (B, J))) + bpf[..., 0]
+    return y - jnp.sum(U * F_post, axis=-1)
+
+
+def sharded_solve_upper(t, c, U, W, y, *, axis_name="seq"):
+    """z = L^{-T} y on sequence shards (vector RHS)."""
+    B, J = U.shape
+    dtype = U.dtype
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right, left = _right_left(n_dev)
+
+    phi = _sharded_transport_up(axis_name, t, c, left)
+    U_next = _next_rows(U, axis_name, left)
+    W_next = _next_rows(W, axis_name, left)
+    y_next = _next_rows(y, axis_name, left)
+
+    I = jnp.eye(J, dtype=dtype)
+    # F_r = phi_r (I - u_{r+1} w_{r+1}^T) F_{r+1} + phi_r u_{r+1} z_{r+1}
+    A_el = phi[:, :, None] * (
+        I[None] - U_next[:, :, None] * W_next[:, None, :]
+    )
+    b_el = phi * (U_next * y_next[:, None])
+    A_suf, b_suf = _suffix_states(
+        (A_el, b_el[..., None]), _mat_affine_combine, _id_affine,
+        reverse=True,
+    )
+    gA = lax.all_gather(A_suf[0], axis_name)
+    gb = lax.all_gather(b_suf[0, :, 0], axis_name)
+    F_in = _fold_shards(gA, gb, idx, later_first=True)
+    F_post = _bmv(A_suf, jnp.broadcast_to(F_in, (B, J))) + b_suf[..., 0]
+    return y - jnp.sum(W * F_post, axis=-1)
+
+
+def _sharded_matmul(t, c, A, B_mat, y, *, axis_name, upper):
+    """Shared diagonal-affine cumulative for the strict matmuls."""
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    right, left = _right_left(n_dev)
+    Bn, J = A.shape
+
+    G = B_mat * y[:, None]
+    if not upper:
+        phi = _sharded_transport(axis_name, t, c, right)
+        G_feed = _prev_rows(G, axis_name, right)
+        alpha, beta = phi, phi * G_feed
+        pa, pb = _engine_scan(
+            lambda e1, e2: (e2[0] * e1[0], e2[0] * e1[1] + e2[1]),
+            (alpha, beta),
+            lambda e: (
+                jnp.ones((1, J), e[0].dtype),
+                jnp.zeros((1, J), e[1].dtype),
+            ),
+        )
+        ga = lax.all_gather(pa[-1], axis_name)
+        gb = lax.all_gather(pb[-1], axis_name)
+        acc_a = jnp.ones((J,), A.dtype)
+        acc_b = jnp.zeros((J,), A.dtype)
+        for k in range(n_dev):
+            na = ga[k] * acc_a
+            nb = ga[k] * acc_b + gb[k]
+            take = k < idx
+            acc_a = jnp.where(take, na, acc_a)
+            acc_b = jnp.where(take, nb, acc_b)
+        F = pa * acc_b[None, :] + pb
+    else:
+        phi = _sharded_transport_up(axis_name, t, c, left)
+        G_feed = _next_rows(G, axis_name, left)
+        alpha, beta = phi, phi * G_feed
+        pa, pb = _engine_scan(
+            lambda e1, e2: (e2[0] * e1[0], e2[0] * e1[1] + e2[1]),
+            (alpha, beta),
+            lambda e: (
+                jnp.ones((1, J), e[0].dtype),
+                jnp.zeros((1, J), e[1].dtype),
+            ),
+            reverse=True,
+        )
+        ga = lax.all_gather(pa[0], axis_name)
+        gb = lax.all_gather(pb[0], axis_name)
+        acc_a = jnp.ones((J,), A.dtype)
+        acc_b = jnp.zeros((J,), A.dtype)
+        for k in range(n_dev - 1, -1, -1):
+            na = ga[k] * acc_a
+            nb = ga[k] * acc_b + gb[k]
+            take = k > idx
+            acc_a = jnp.where(take, na, acc_a)
+            acc_b = jnp.where(take, nb, acc_b)
+        F = pa * acc_b[None, :] + pb
+    return jnp.sum(A * F, axis=-1)
+
+
+def sharded_matmul_lower(t, c, U, V, y, *, axis_name="seq"):
+    """tril_strict(U V^T (x) transport) @ y on sequence shards."""
+    return _sharded_matmul(t, c, U, V, y, axis_name=axis_name,
+                           upper=False)
+
+
+def sharded_matmul_upper(t, c, U, V, y, *, axis_name="seq"):
+    """triu_strict(V U^T (x) transport) @ y on sequence shards."""
+    return _sharded_matmul(t, c, V, U, y, axis_name=axis_name,
+                           upper=True)
+
+
+def sharded_apply_inverse(t, c, U, W, d, y, *, axis_name="seq"):
+    """K^{-1} y = L^{-T} d^{-1} L^{-1} y on sequence shards."""
+    z = sharded_solve_lower(t, c, U, W, y, axis_name=axis_name)
+    z = z / _safe(d)
+    return sharded_solve_upper(t, c, U, W, z, axis_name=axis_name)
+
+
+def sharded_dot_tril(t, c, U, W, d, y, *, axis_name="seq"):
+    """L sqrt(d) y (prior sampling weight) on sequence shards."""
+    z = jnp.sqrt(jnp.where(d > 0, d, jnp.zeros_like(d))) * y
+    return z + sharded_matmul_lower(
+        t, c, U, W, z, axis_name=axis_name
+    )
+
+
+def sharded_predict_mean(t, c, a, U, V, diag, resid, *,
+                         axis_name="seq"):
+    """Conditional mean at the training points (the O(N) fast path of
+    reference core.py:115-132) on sequence shards: y - diag K^{-1} r."""
+    d, W, ok = sharded_factor(t, c, a, U, V, axis_name=axis_name)
+    alpha = sharded_apply_inverse(
+        t, c, U, W, d, resid, axis_name=axis_name
+    )
+    return resid - diag * alpha
 
 
 def make_sharded_logdensity(

@@ -135,3 +135,47 @@ def test_small_inv_singular_leading_block_stays_finite():
     assert np.linalg.cond(M) < 1e3
     out = np.asarray(_small_inv(jnp.asarray(M)))
     assert np.all(np.isfinite(out))
+
+
+@pytest.mark.parametrize("J_width", [6, 8])
+def test_factor_rev_assoc_wide_J(J_width):
+    """The structured reverse engine must match the scan reverse at wide
+    J (the round-1 J<=4 materialization limit is gone).  J=6 exercises a
+    SHO-mixture width; J=8 a TermProduct width."""
+    from celerite2_tpu.models.terms import SHOTerm
+
+    kern = SHOTerm(S0=1.0, w0=0.5, Q=2.0)
+    for k in range(1, J_width // 2):
+        kern = kern + SHOTerm(S0=0.5 / k, w0=0.5 + k, Q=1.0 + k)
+    t, c, a, U, V, Y = get_matrices(size=80, kernel=kern)
+    assert U.shape[1] == J_width
+
+    args = tuple(map(jnp.asarray, (t, c, a, U, V)))
+    d, W, S = scan.factor_scan(*args)
+    rng = np.random.default_rng(5)
+    bd = jnp.asarray(rng.normal(size=d.shape))
+    bW = jnp.asarray(rng.normal(size=W.shape))
+
+    ref = scan.factor_rev_scan(*args, d, W, S, bd, bW)
+    out = assoc.factor_rev_assoc(*args, d, W, S, bd, bW)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-9)
+
+
+def test_frev_suffix_states_block_invariance():
+    """The structured engine result must not depend on the block size."""
+    from celerite2_tpu.ops.assoc import _frev_suffix_states
+
+    rng = np.random.default_rng(9)
+    M, J = 50, 3
+    par = (
+        jnp.asarray(rng.uniform(0.5, 1.0, (M, J))),
+        jnp.asarray(0.3 * rng.normal(size=(M, J))),
+        jnp.asarray(0.3 * rng.normal(size=(M, J))),
+        jnp.asarray(rng.normal(size=(M, J))),
+        jnp.asarray(rng.normal(size=(M,))),
+    )
+    ref = _frev_suffix_states(par, block=64)  # single block
+    for blk in (1, 4, 16, 33):
+        out = _frev_suffix_states(par, block=blk)
+        np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-11)

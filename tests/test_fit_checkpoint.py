@@ -63,3 +63,93 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(restored[k]), np.asarray(state[k])
         )
+
+
+def test_chunked_nuts_resumes_bit_compatibly(tmp_path):
+    """A chunked NUTS run killed mid-way resumes from the last chunk and
+    produces exactly the samples of an uninterrupted chunked run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from celerite2_tpu.inference import CheckpointManager, run_nuts
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    kwargs = dict(
+        num_warmup=40,
+        num_samples=40,
+        num_chains=2,
+        max_depth=5,
+        chunk_size=20,
+    )
+    key = jax.random.PRNGKey(0)
+    init = jnp.zeros(2)
+
+    ref = run_nuts(logp, init, key, **kwargs)
+
+    # run 1: only the first two chunks complete (simulated kill)
+    class Killed(Exception):
+        pass
+
+    calls = []
+
+    def dying_monitor(step, stats):
+        calls.append(step)
+        if len(calls) == 2:
+            raise Killed
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=5)
+    try:
+        run_nuts(
+            logp, init, key, **kwargs, checkpoint=mgr,
+            monitor=dying_monitor,
+        )
+        raise AssertionError("monitor should have killed the run")
+    except Killed:
+        pass
+    mgr.close()
+
+    # run 2: restart with a fresh manager over the same directory
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), max_to_keep=5)
+    res = run_nuts(logp, init, key, **kwargs, checkpoint=mgr2)
+    mgr2.close()
+
+    np.testing.assert_array_equal(
+        np.asarray(res.samples), np.asarray(ref.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.log_prob), np.asarray(ref.log_prob)
+    )
+
+
+def test_chunked_hmc_monitor_stats(tmp_path):
+    """run_hmc chunking emits live stats through sampling_monitor."""
+    import jax
+    import jax.numpy as jnp
+
+    from celerite2_tpu.inference import run_hmc
+    from celerite2_tpu.utils.observe import sampling_monitor
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    with sampling_monitor(log_every=0) as (emit, records):
+        run_hmc(
+            logp,
+            jnp.zeros(2),
+            jax.random.PRNGKey(0),
+            num_warmup=30,
+            num_samples=30,
+            num_chains=4,
+            max_leapfrog=16,
+            chunk_size=20,
+            monitor=emit,
+        )
+    assert len(records) == 3  # ceil(60 / 20)
+    steps = [s for s, _ in records]
+    assert steps == [20, 40, 60]
+    for _, stats in records:
+        assert 0.0 <= stats["mean_accept"] <= 1.0
+        assert stats["step_size"] > 0

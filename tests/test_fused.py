@@ -145,3 +145,34 @@ def test_gp_loglik_quiet_neg_inf(restore_config):
     val = f(jnp.asarray(1.0))
     assert np.isneginf(float(val))
     del kernel
+
+
+@pytest.mark.parametrize("size", [40, 200])
+def test_paired_reverse_matches_two_pass(size):
+    """factor_solve_rev_assoc == sweep_rev then factor_rev, including
+    sizes above the engine block (exercises block padding, which is NOT
+    an identity on the deferral components)."""
+    t, c, a, U, V, Y = (
+        jnp.asarray(x) for x in get_matrices(size=size, vector=True)
+    )
+    Y = Y[:, None]
+    d, W, Z, S, F = scan.factor_solve_scan(t, c, a, U, V, Y)
+    rng = np.random.default_rng(0)
+    bd = jnp.asarray(rng.normal(size=d.shape))
+    bWp = jnp.asarray(rng.normal(size=W.shape))
+    bZ = jnp.asarray(rng.normal(size=Z.shape))
+
+    bt1, bc1, bU1, bW1, bY = scan.sweep_rev_scan(
+        t, c, U, W, Y, Z, F, bZ, is_solve=True, upper=False
+    )
+    bt2, bc2, ba, bU2, bV = scan.factor_rev_scan(
+        t, c, a, U, V, d, W, S, bd, bWp + bW1
+    )
+    ref = (bt1 + bt2, bc1 + bc2, ba, bU1 + bU2, bV, bY)
+    out = assoc.factor_solve_rev_assoc(
+        t, c, a, U, V, Y, d, W, Z, S, F, bd, bWp, bZ
+    )
+    for name, r, o in zip(["bt", "bc", "ba", "bU", "bV", "bY"], ref, out):
+        np.testing.assert_allclose(
+            o, r, rtol=1e-9, atol=1e-11, err_msg=name
+        )

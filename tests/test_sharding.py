@@ -164,3 +164,134 @@ def test_two_level_engine_inside_shard_map():
         )
         np.testing.assert_allclose(Ab[k], Aref[-1], rtol=1e-10)
         np.testing.assert_allclose(bb[k], bref[-1], rtol=1e-10)
+
+
+def test_sharded_ops_match_unsharded(mesh_seq):
+    """sharded factor/solves/matmuls/dot_tril/predict-mean vs the
+    single-device ops on the same data."""
+    from celerite2_tpu import ops
+    from celerite2_tpu.parallel import sharded as sh
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+
+    d_ref, W_ref = ops.factor(tj, c, a, U, V)
+    z_lo_ref = ops.solve_lower(tj, c, U, W_ref, yj[:, None])[:, 0]
+    z_up_ref = ops.solve_upper(tj, c, U, W_ref, yj[:, None])[:, 0]
+    ml_ref = ops.matmul_lower(tj, c, U, V, yj[:, None])[:, 0]
+    mu_ref = ops.matmul_upper(tj, c, U, V, yj[:, None])[:, 0]
+
+    def body(tl, cl, al, Ul, Vl, yl):
+        d, W, ok = sh.sharded_factor(tl, cl, al, Ul, Vl)
+        zlo = sh.sharded_solve_lower(tl, cl, Ul, W, yl)
+        zup = sh.sharded_solve_upper(tl, cl, Ul, W, yl)
+        ml = sh.sharded_matmul_lower(tl, cl, Ul, Vl, yl)
+        mu = sh.sharded_matmul_upper(tl, cl, Ul, Vl, yl)
+        dt = sh.sharded_dot_tril(tl, cl, Ul, W, d, yl)
+        return d, W, zlo, zup, ml, mu, dt
+
+    seq = P("seq")
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, seq),
+            out_specs=(seq, seq, seq, seq, seq, seq, seq),
+        )
+    )
+    d, W, zlo, zup, ml, mu, dt = fn(tj, c, a, U, V, yj)
+
+    np.testing.assert_allclose(d, d_ref, rtol=1e-9)
+    np.testing.assert_allclose(W, W_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(zlo, z_lo_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(zup, z_up_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(ml, ml_ref, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-8, atol=1e-10)
+
+    dt_ref = np.sqrt(np.asarray(d_ref)) * y + np.asarray(ml_ref * 0)
+    # dot_tril reference via the unsharded helper
+    from celerite2_tpu.gp import GPState, gp_dot_tril
+
+    z0 = jnp.sqrt(d_ref) * yj
+    dt_ref = z0 + ops.matmul_lower(tj, c, U, W_ref, z0[:, None])[:, 0]
+    np.testing.assert_allclose(dt, dt_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_predict_mean_matches(mesh_seq):
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import sharded as sh
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    mu_ref = np.asarray(gp.predict(y))
+
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    seq = P("seq")
+    fn = jax.jit(
+        jax.shard_map(
+            lambda tl, cl, al, Ul, Vl, dl, rl: sh.sharded_predict_mean(
+                tl, cl, al, Ul, Vl, dl, rl
+            ),
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, seq, seq),
+            out_specs=seq,
+        )
+    )
+    mu = fn(
+        jnp.asarray(t), c, a, U, V, jnp.asarray(yerr**2), jnp.asarray(y)
+    )
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_sharded_loglik_time_gradient(mesh_seq):
+    """The hand-derived sharded adjoint must include the t gradients
+    (the easy-to-forget bt terms) — parity vs the unsharded fused op."""
+    from celerite2_tpu.gp import gp_loglik
+    from celerite2_tpu.parallel.sharded import sharded_loglik
+
+    t, yerr, y = _data(64)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+
+    seq = P("seq")
+
+    def sharded_ll(tj):
+        fn = jax.shard_map(
+            lambda tl, cl, al, Ul, Vl, rl: sharded_loglik(
+                tl, cl, al, Ul, Vl, rl
+            ),
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, seq),
+            out_specs=P(),
+        )
+        return fn(tj, c, a, U, V, jnp.asarray(y))
+
+    def unsharded_ll(tj):
+        from celerite2_tpu import ops
+
+        d, W, z = ops.factor_solve(tj, c, a, U, V, jnp.asarray(y)[:, None])
+        import math
+
+        safe = jnp.where(d > 0, d, 1.0)
+        return -0.5 * (
+            jnp.sum(jnp.log(safe))
+            + jnp.sum(z[:, 0] ** 2 / safe)
+            + t.shape[0] * math.log(2 * math.pi)
+        )
+
+    tj = jnp.asarray(t)
+    g_sh = jax.jit(jax.grad(sharded_ll))(tj)
+    g_ref = jax.jit(jax.grad(unsharded_ll))(tj)
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-6, atol=1e-9)

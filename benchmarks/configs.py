@@ -208,6 +208,9 @@ def config3(num_warmup=400, num_samples=400, num_chains=8, n=30_000):
         num_samples=num_samples,
         num_chains=num_chains,
         max_leapfrog=256,
+        # bound each device execution: the axon TPU worker crashes on
+        # very long continuous executions (CLAUDE.md)
+        chunk_size=25,
     )
     jax.block_until_ready(res.samples)
     seconds = time.perf_counter() - t0

@@ -69,6 +69,10 @@ class Config:
     assoc_threshold: int | None = None
     pallas_threshold: int = 512
     engine_block: int = 32
+    # prefix-composition engine: "auto" = two_level on TPU (where
+    # lax.associative_scan compiles pathologically), associative_scan
+    # elsewhere; force either for testing/benchmarking
+    engine: Literal["auto", "two_level", "associative_scan"] = "auto"
     bucket_widths: bool = True
     # run the fused-loglik forward as ONE kalman-element engine pass on
     # the assoc tier instead of factor-then-solve: measured ~neutral to

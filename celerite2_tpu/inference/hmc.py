@@ -195,13 +195,20 @@ def _hmc_segment(
         )
 
         # ChEES gradient for log T (u-scaled chain rule); proposals, not
-        # accepted states, drive the criterion
+        # accepted states, drive the criterion.  Divergent proposals may
+        # hold inf/nan positions — replace them with the current state
+        # (their accept weight is zero, but inf would still poison the
+        # cross-chain means: 0 * inf = nan)
+        ok1 = jnp.isfinite(h1)
+        q1s = jnp.where(ok1[:, None], q1, q)
+        v1s = jnp.where(
+            ok1[:, None], inv_mass * p1, jnp.zeros_like(p1)
+        )  # preconditioned endpoint velocity
         m0 = jnp.mean(q, axis=0)
-        m1 = jnp.mean(q1, axis=0)
+        m1 = jnp.mean(q1s, axis=0)
         r0 = jnp.sum((q - m0) ** 2, axis=-1)
-        r1 = jnp.sum((q1 - m1) ** 2, axis=-1)
-        v1 = inv_mass * p1  # preconditioned endpoint velocity
-        per_chain = (r1 - r0) * jnp.sum((q1 - m1) * v1, axis=-1)
+        r1 = jnp.sum((q1s - m1) ** 2, axis=-1)
+        per_chain = (r1 - r0) * jnp.sum((q1s - m1) * v1s, axis=-1)
         wsum = jnp.sum(accept_prob) + 1e-6
         chees_grad = u * jnp.sum(accept_prob * per_chain) / wsum
         # normalize scale so Adam's lr is geometry-free (paper sec. 4)
@@ -213,6 +220,10 @@ def _hmc_segment(
             log_T_new,
             jnp.log(eps),
             jnp.log(eps * max_leapfrog),
+        )
+        # belt-and-braces: never let a stray non-finite wipe the state
+        log_T_new = jnp.where(
+            jnp.isfinite(log_T_new), log_T_new, carry.log_T
         )
         adam = jax.tree_util.tree_map(
             lambda new, old: jnp.where(warm, new, old),

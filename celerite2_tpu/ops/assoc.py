@@ -205,7 +205,24 @@ def _id_riccati(elems):
     )
 
 
+def _vmapped(x) -> bool:
+    """True when tracing under vmap (a chain-fleet batch): memory-bound
+    paths must then prefer structured over materialized elements."""
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - moved across jax versions
+        return False
+    return isinstance(x, BatchTracer)
+
+
 def _use_two_level() -> bool:
+    from celerite2_tpu.config import get_config
+
+    engine = get_config().engine
+    if engine == "two_level":
+        return True
+    if engine == "associative_scan":
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -281,17 +298,26 @@ def matmul_upper_assoc(t, c, U, V, Y):
 
 
 def _bmm(A, B):
-    """Batched (..., n, m) @ (..., m, k) as broadcast-multiply-reduce.
+    """Batched (..., n, m) @ (..., m, k).
 
-    XLA lowers batched *tiny* matmuls on TPU by padding each operand to
-    an MXU tile (measured ~40 us per (NB, 2, 2) dispatch inside a scan);
-    the fused elementwise form runs on the VPU at full utilization.
+    Tiny (J <= 4-ish) matmuls use broadcast-multiply-reduce: XLA lowers
+    batched tiny dots on TPU by padding each operand to an MXU tile
+    (measured ~40 us per (NB, 2, 2) dispatch inside a scan) while the
+    fused elementwise form runs on the VPU at full utilization.  Larger
+    contractions (the J^2-sized reverse maps) use a real dot_general —
+    the broadcast intermediate is (..., n, m, k) and at m = J^2 = 16 a
+    vmapped chain fleet materializes it into tens of GB.
     """
+    m = A.shape[-1]
+    if m >= 8:
+        return A @ B
     return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
 def _bmv(A, x):
     """Batched matrix-vector product (..., n, m) @ (..., m)."""
+    if A.shape[-1] >= 8:
+        return jnp.einsum("...nm,...m->...n", A, x)
     return jnp.sum(A * x[..., None, :], axis=-1)
 
 
@@ -1168,7 +1194,7 @@ def factor_solve_rev_assoc(
         dinv[1:],
     )
     dim = _pair_dim(J)
-    if J <= 4:
+    if J <= 4 and not _vmapped(U):
         x_in, x_fin = _pair_dense_suffix_states(par, dim)
     else:
         x_in, x_fin = _structured_suffix_states(
@@ -1286,9 +1312,13 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     bv0n = bv0[1:]
     bdpn = bdp[1:]
 
-    if J <= 4:
-        # measured faster at small J: materialize the (J^2, J^2) linear
-        # part per row (closed form) and run the dense affine engine
+    if J <= 4 and not _vmapped(U):
+        # measured faster at small J for SINGLE evaluations: materialize
+        # the (J^2, J^2) linear part per row (closed form) and run the
+        # dense affine engine.  Under vmap (chain fleets) the per-row
+        # (J^2, J^2) maps cost O(C N J^4) HBM — and TPU tile padding of
+        # the 16-wide minor dim multiplies that 8x — so fleets route to
+        # the structured scheme (O(C N J^2) memory).
         M_in = _frev_suffix_states_dense(p, u, w, bv0n, bdpn)
     else:
         M_in = _frev_suffix_states((p, u, w, bv0n, bdpn))

@@ -1,0 +1,200 @@
+"""Numerical stress tests for the engine tier (VERDICT round-1 item 10).
+
+The two-level blocked prefix engine is the single point of numerical
+truth for the fast tier on TPU; these tests force it on CPU
+(``config.engine = "two_level"``) and probe the regimes round 1 left
+untested: f32 at large N against f64 ground truth, wide-dynamic-range
+time gaps, near-singular ``I + Q R`` combinations, and the packed
+kernels' large-gap transpose-pair design.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celerite2_tpu import terms
+from celerite2_tpu.config import get_config, set_config
+from celerite2_tpu.ops import assoc, scan
+from celerite2_tpu.testing import get_matrices
+
+
+@pytest.fixture
+def force_two_level():
+    prior = get_config()
+    set_config(engine="two_level")
+    yield
+    set_config(**dataclasses.asdict(prior))
+
+
+def _loglik_parts(factor_fn, solve_fn, t, c, a, U, V, y):
+    d, W, _ = factor_fn(t, c, a, U, V)
+    z, _ = solve_fn(t, c, U, W, y[:, None])
+    return d, z[:, 0]
+
+
+def test_two_level_f32_large_N_vs_f64(force_two_level):
+    """f32 two-level engine at N=1e5 against f64 associative_scan truth:
+    the blocked composition must not lose more than ~4 digits on the
+    aggregate statistics (BASELINE accuracy ladder)."""
+    N = 100_000
+    rng = np.random.default_rng(0)
+    t64 = np.sort(rng.uniform(0, 1000, N))
+    kernel = terms.SHOTerm(sigma=1.0, rho=5.0, tau=3.0)
+    c, a, U, V = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(t64, np.full(N, 0.0625))
+    )
+    y = np.sin(0.7 * t64)
+
+    # f64 ground truth through the same two-level engine
+    args64 = tuple(
+        jnp.asarray(x, jnp.float64) for x in (t64, c, a, U, V)
+    )
+    d64, z64 = _loglik_parts(
+        assoc.factor_assoc, assoc.solve_lower_assoc, *args64,
+        jnp.asarray(y, jnp.float64),
+    )
+    ld64 = float(jnp.sum(jnp.log(d64)))
+    q64 = float(jnp.sum(z64**2 / d64))
+
+    args32 = tuple(
+        jnp.asarray(np.asarray(x), jnp.float32) for x in (t64, c, a, U, V)
+    )
+    d32, z32 = _loglik_parts(
+        assoc.factor_assoc, assoc.solve_lower_assoc, *args32,
+        jnp.asarray(y, jnp.float32),
+    )
+    assert bool(jnp.all(d32 > 0))
+    ld32 = float(jnp.sum(jnp.log(d32.astype(jnp.float64))))
+    q32 = float(jnp.sum((z32.astype(jnp.float64)) ** 2 / d32))
+    assert abs(ld32 - ld64) / abs(ld64) < 1e-4
+    assert abs(q32 - q64) / abs(q64) < 1e-3
+    # per-row pivots: error accumulates over ~sqrt-depth composed
+    # combines; ~5e-4 relative observed at N=1e5 (f32 eps 1.2e-7)
+    np.testing.assert_allclose(
+        np.asarray(d32), np.asarray(d64), rtol=2e-3
+    )
+
+
+def test_two_level_wide_dynamic_range_gaps(force_two_level):
+    """Clusters separated by gaps up to ~90 time constants: the
+    transport underflows gracefully and the engine matches the
+    sequential scan to f64 precision."""
+    rng = np.random.default_rng(3)
+    clusters = []
+    base = 0.0
+    for k in range(6):
+        clusters.append(np.sort(rng.uniform(base, base + 5.0, 40)))
+        base += 5.0 + 10.0 ** (1 + k / 2)  # growing gaps: 15 .. ~320
+    t = np.concatenate(clusters)
+    N = len(t)
+    kernel = terms.SHOTerm(sigma=1.2, rho=2.0, tau=1.5) + terms.RealTerm(
+        a=0.7, c=0.3
+    )
+    c, a, U, V = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(t, np.full(N, 0.04))
+    )
+    y = rng.normal(size=N)
+    args = tuple(map(jnp.asarray, (t, c, a, U, V)))
+
+    d_ref, W_ref, _ = scan.factor_scan(*args)
+    z_ref, _ = scan.solve_lower_scan(args[0], args[1], args[3], W_ref,
+                                     jnp.asarray(y)[:, None])
+    d2, W2, _ = assoc.factor_assoc(*args)
+    z2, _ = assoc.solve_lower_assoc(args[0], args[1], args[3], W2,
+                                    jnp.asarray(y)[:, None])
+    np.testing.assert_allclose(d2, d_ref, rtol=1e-10)
+    np.testing.assert_allclose(W2, W_ref, rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(z2, z_ref, rtol=1e-8, atol=1e-10)
+    assert np.all(np.isfinite(np.asarray(d2)))
+
+
+def test_near_singular_riccati_combinations(force_two_level):
+    """Nearly non-positive-definite system (tiny observational diag on
+    a smooth kernel): the no-pivot _small_inv path must track the
+    sequential scan; exactly-zero diag must stay finite (quiet)."""
+    rng = np.random.default_rng(11)
+    N = 512
+    t = np.sort(rng.uniform(0, 10, N))
+    kernel = terms.SHOTerm(sigma=2.0, rho=4.0, tau=8.0)
+
+    # the conditioning of d = a - u^T S u is eps * a/d per op: at
+    # diag=1e-10 that is ~2e-6, amplified a little by composition
+    for diag_val, rtol in ((1e-10, 1e-6), (1e-13, None)):
+        c, a, U, V = (
+            np.asarray(x)
+            for x in kernel.get_celerite_matrices(
+                t, np.full(N, diag_val)
+            )
+        )
+        args = tuple(map(jnp.asarray, (t, c, a, U, V)))
+        d_ref, W_ref, _ = scan.factor_scan(*args)
+        d2, W2, _ = assoc.factor_assoc(*args)
+        if rtol is not None:
+            # absolute error is bounded by ~eps * a (the cancellation
+            # operand scale), NOT by eps * d
+            np.testing.assert_allclose(
+                d2, d_ref, rtol=rtol, atol=1e-7 * float(np.max(a))
+            )
+        else:
+            # at the f64 cancellation edge no algorithm resolves d to
+            # relative accuracy; require finite, positive, same scale
+            assert np.all(np.isfinite(np.asarray(d2)))
+            assert np.all(np.asarray(d2) > 0)
+            np.testing.assert_allclose(
+                d2, d_ref, rtol=0.5, atol=1e-6 * float(np.max(a))
+            )
+
+    # exactly zero diag: may or may not stay PD, but NEVER NaN/inf
+    c, a, U, V = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(t, np.zeros(N))
+    )
+    d0, W0, _ = assoc.factor_assoc(*map(jnp.asarray, (t, c, a, U, V)))
+    assert np.all(np.isfinite(np.asarray(d0)))
+    assert np.all(np.isfinite(np.asarray(W0)))
+
+
+def test_packed_kernels_large_gaps():
+    """The packed kernels' transpose-pair cache exists to avoid
+    phi_k/phi_j over/underflow across large gaps — regression that the
+    full forward+reverse stays correct on a large-gap system."""
+    from celerite2_tpu.ops import pallas_packed as pp
+
+    rng = np.random.default_rng(5)
+    parts = [
+        np.sort(rng.uniform(0, 3, 40)),
+        np.sort(rng.uniform(150, 153, 40)),
+        np.sort(rng.uniform(400, 403, 48)),
+    ]
+    t = np.concatenate(parts)
+    N = len(t)
+    kernel = terms.SHOTerm(sigma=1.0, rho=1.0, tau=2.0)
+    c, a, U, V = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(t, np.full(N, 0.04))
+    )
+    y = rng.normal(size=N)
+    t, c, a, U, V = map(jnp.asarray, (t, c, a, U, V))
+    Y = jnp.asarray(y)[:, None]
+
+    d_ref, W_ref, S_ref = scan.factor_scan(t, c, a, U, V)
+    d2, W2, (Sh, ShT) = pp.factor_packed(t, c, a, U, V, block_size=16)
+    np.testing.assert_allclose(d2, d_ref, rtol=1e-10)
+    np.testing.assert_allclose(W2, W_ref, rtol=1e-9, atol=1e-12)
+    assert np.all(np.isfinite(np.asarray(Sh)))
+    assert np.all(np.isfinite(np.asarray(ShT)))
+
+    # reverse sweep consumes the pair without rebuilding transposes
+    bd = jnp.asarray(rng.normal(size=d_ref.shape))
+    bW = jnp.asarray(rng.normal(size=W_ref.shape))
+    ref = scan.factor_rev_scan(t, c, a, U, V, d_ref, W_ref, S_ref, bd, bW)
+    out = pp.factor_rev_packed(
+        t, c, a, U, V, d2, W2, (Sh, ShT), bd, bW, block_size=16
+    )
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(o, r, rtol=1e-7, atol=1e-9)

@@ -112,9 +112,65 @@ def main():
                 "value": round(best, 3),
                 "unit": "evals/s",
                 "vs_baseline": round(best / baseline, 3),
+                "ess_per_s_fleet_N3e4_C64": round(_fleet_ess_rate(), 3),
             }
         )
     )
+
+
+def _fleet_ess_rate():
+    """min-ESS/s of the ChEES-HMC fleet path (64 chains, N=3e4,
+    SHO-mixture), wall time including compile — the BASELINE config-3
+    capability number."""
+    from celerite2_tpu import GaussianProcess, set_config, terms
+    from celerite2_tpu.gp import gp_loglik
+    from celerite2_tpu.inference import effective_sample_size, run_hmc
+
+    N = 30_000
+    rng = np.random.default_rng(7)
+    t = np.sort(rng.uniform(0, 300, N))
+    yerr = np.full(N, 0.2)
+    kernel = terms.SHOTerm(sigma=1.0, rho=8.0, tau=20.0) + terms.SHOTerm(
+        sigma=0.6, rho=2.0, Q=0.3
+    )
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    y = np.asarray(gp.sample(jax.random.PRNGKey(5)))
+    set_config(assoc_threshold=64)
+
+    tj, yj, yerrj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(yerr)
+
+    def logpost(theta):
+        k = terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        ) + terms.SHOTerm(
+            sigma=jnp.exp(theta[3]), rho=jnp.exp(theta[4]), Q=0.3
+        )
+        return gp_loglik(k, tj, yj, yerr=yerrj) - 0.5 * jnp.sum(
+            (theta / 2.0) ** 2
+        )
+
+    init = jnp.asarray(
+        [0.0, np.log(5.0), np.log(10.0), -0.5, np.log(3.0)], tj.dtype
+    )
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(
+        run_hmc(
+            logpost,
+            init,
+            jax.random.PRNGKey(1),
+            num_warmup=60,
+            num_samples=60,
+            num_chains=64,
+            max_leapfrog=48,
+            chunk_size=20,  # bounded device executions (CLAUDE.md)
+        )
+    )
+    wall = time.perf_counter() - t0
+    ess = float(np.min(np.asarray(effective_sample_size(res.samples))))
+    set_config(assoc_threshold=None)
+    return ess / wall
 
 
 if __name__ == "__main__":

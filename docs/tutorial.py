@@ -11,8 +11,15 @@ import jax.numpy as jnp
 
 import celerite2_tpu as c2
 from celerite2_tpu import terms
-from celerite2_tpu.gp import gp_compute, gp_log_likelihood
-from celerite2_tpu.inference import fit_map, run_nuts, summary
+from celerite2_tpu.gp import gp_loglik
+from celerite2_tpu.inference import (
+    fit_map,
+    run_advi,
+    run_hmc,
+    run_nuts,
+    run_smc,
+    summary,
+)
 
 # ------------------------------------------------- 1. simulated data
 rng = np.random.default_rng(42)
@@ -45,14 +52,11 @@ gp = c2.GaussianProcess(build_kernel(p0), t=t, yerr=yerr)
 print("initial log likelihood:", float(gp.log_likelihood(y)))
 
 
-def neg_log_likelihood(params, t, yerr, y):
-    state = gp_compute(build_kernel(params), t, yerr=yerr)
-    return -gp_log_likelihood(state, y)
-
-
 def log_posterior(params):
+    # gp_loglik runs factor+solve fused — the sampler hot path
+    ll = gp_loglik(build_kernel(params), t, y, yerr=yerr)
     prior = -0.5 * jnp.sum((params / 5.0) ** 2)
-    return -neg_log_likelihood(params, t, yerr, y) + prior
+    return ll + prior
 
 
 # ----------------------------------------------------- 3. MAP fit
@@ -74,6 +78,41 @@ print("posterior mean:", np.asarray(s["mean"]))
 print("posterior sd:  ", np.asarray(s["sd"]))
 print("R-hat:         ", np.asarray(s["rhat"]))
 print("divergence rate:", float(post.diverging.mean()))
+
+# --------------------------------------- 4b. fleet HMC (many chains)
+# the fixed-trajectory ChEES sampler compiles a chain-count-independent
+# program: use it for hundreds/thousands of chains (num_chains here is
+# small only so the tutorial stays fast)
+fleet = run_hmc(
+    log_posterior,
+    res.params,
+    jax.random.PRNGKey(1),
+    num_warmup=300,
+    num_samples=300,
+    num_chains=8,
+    max_leapfrog=64,
+)
+print("fleet posterior mean:", np.asarray(summary(fleet.samples)["mean"]))
+
+# --------------------------------------------- 4c. VI and SMC options
+vi = run_advi(log_posterior, res.params, jax.random.PRNGKey(2),
+              num_steps=800)
+print("ADVI mean:", np.asarray(vi.mean))
+
+
+def log_prior(q):
+    return -0.5 * jnp.sum((q / 5.0) ** 2)
+
+
+smc = run_smc(
+    log_prior,
+    lambda q: log_posterior(q) - log_prior(q),
+    lambda key, n: 5.0 * jax.random.normal(key, (n, 5), res.params.dtype),
+    jax.random.PRNGKey(3),
+    num_particles=512,
+    mutation_steps=5,
+)
+print("SMC log evidence:", float(smc.log_evidence))
 
 # -------------------------------------------------- 5. prediction
 gp = c2.GaussianProcess(build_kernel(res.params), t=t, yerr=yerr)

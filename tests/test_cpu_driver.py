@@ -104,3 +104,94 @@ def test_inplace_outputs(system):
     W_buf = np.empty((N, J))
     d, W = cpu.driver.factor(t, c, a, U, V, d_out=d_buf, W_out=W_buf)
     assert d is d_buf and W is W_buf
+
+
+def test_numpy_gp_matches_jax_gp():
+    """The eager CPU GaussianProcess must match the JAX GP across the
+    full surface (the reference's NumPy-vs-JAX cross-backend parity,
+    testing.py:183-201)."""
+    import celerite2_tpu as c2
+    from celerite2_tpu import terms
+    from celerite2_tpu.cpu import NumpyGaussianProcess
+
+    rng = np.random.default_rng(77)
+    N = 120
+    t = np.sort(rng.uniform(0, 10, N))
+    yerr = rng.uniform(0.1, 0.3, N)
+    y = np.sin(t) + yerr * rng.normal(size=N)
+    t_new = np.linspace(-1, 11, 45)
+
+    kernel = terms.SHOTerm(sigma=1.3, rho=3.1, tau=2.2) + terms.RealTerm(
+        a=0.8, c=0.4
+    )
+    ref = c2.GaussianProcess(kernel, t=t, yerr=yerr, mean=0.1)
+    gp = NumpyGaussianProcess(kernel, t=t, yerr=yerr, mean=0.1)
+
+    np.testing.assert_allclose(
+        gp.log_likelihood(y), float(ref.log_likelihood(y)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        gp.apply_inverse(y), np.asarray(ref.apply_inverse(y)),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        gp.dot_tril(y), np.asarray(ref.dot_tril(y)),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        gp.predict(y), np.asarray(ref.predict(y)), rtol=1e-9, atol=1e-10
+    )
+    mu, var = gp.predict(y, t=t_new, return_var=True)
+    mu_ref, var_ref = ref.predict(y, t=t_new, return_var=True)
+    np.testing.assert_allclose(mu, np.asarray(mu_ref), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(
+        var, np.asarray(var_ref), rtol=1e-7, atol=1e-9
+    )
+
+    # seeded prior draws have the right covariance structure
+    s = gp.sample(size=4, rng=np.random.default_rng(0))
+    assert s.shape == (4, N)
+    assert np.all(np.isfinite(s))
+
+
+def test_numpy_gp_error_contract():
+    import pytest
+
+    from celerite2_tpu import terms
+    from celerite2_tpu.cpu import NumpyGaussianProcess
+    from celerite2_tpu.utils import LinAlgError
+
+    t = np.linspace(0, 10, 50)
+    bad = terms.RealTerm(a=-5.0, c=0.5)
+    gp = NumpyGaussianProcess(bad)
+    with pytest.raises(LinAlgError):
+        gp.compute(t, yerr=np.full(50, 1e-6))
+    gp.compute(t, yerr=np.full(50, 1e-6), quiet=True)
+    assert gp.log_likelihood(np.sin(t)) == -np.inf
+    with pytest.raises(ValueError):
+        gp.compute(t[::-1])
+    with pytest.raises(ValueError):
+        gp.compute(t, yerr=np.ones(50), diag=np.ones(50))
+
+
+def test_numpy_gp_convolution_override():
+    """Terms that override matrix construction (TermConvolution's diag
+    correction) must route through their own method, not the raw
+    coefficient fill."""
+    import celerite2_tpu as c2
+    from celerite2_tpu import terms
+    from celerite2_tpu.cpu import NumpyGaussianProcess
+
+    rng = np.random.default_rng(3)
+    N = 60
+    t = np.sort(rng.uniform(0, 10, N))
+    yerr = np.full(N, 0.2)
+    y = np.sin(t)
+    kernel = terms.TermConvolution(
+        terms.SHOTerm(sigma=1.0, rho=2.0, tau=1.5), 0.08
+    )
+    ref = c2.GaussianProcess(kernel, t=t, yerr=yerr)
+    gp = NumpyGaussianProcess(kernel, t=t, yerr=yerr)
+    np.testing.assert_allclose(
+        gp.log_likelihood(y), float(ref.log_likelihood(y)), rtol=1e-10
+    )

@@ -26,6 +26,7 @@ class SMCResult(NamedTuple):
     log_evidence: jax.Array  # () log marginal-likelihood estimate
     n_stages: jax.Array  # () tempering stages used
     final_beta: jax.Array  # () should be 1.0
+    mutation_eps: jax.Array  # () adapted mutation step size
 
 
 def _systematic_resample(key, log_weights, particles):
@@ -65,8 +66,12 @@ def _find_next_beta(log_like, beta, *, target_frac=0.5, n_bisect=32):
     return jnp.minimum(beta + delta, 1.0)
 
 
-def _hmc_mutation(key, particles, logdensity, eps, n_steps=10):
-    """One fixed-length HMC pass over all particles (vmapped)."""
+def _hmc_mutation(key, particles, logdensity, eps, scales, n_steps=10):
+    """One fixed-length HMC pass over all particles (vmapped).
+
+    ``scales (dim,)`` preconditions the momenta with the current
+    particle-cloud spread (a free diagonal mass estimate — SMC carries
+    the population, so no Welford warmup is needed)."""
     grad_fn = jax.grad(lambda q: -logdensity(q))
 
     def one(q, k):
@@ -76,14 +81,16 @@ def _hmc_mutation(key, particles, logdensity, eps, n_steps=10):
 
         def leap(carry, _):
             q, p = carry
-            p = p - 0.5 * eps * grad_fn(q)
-            q = q + eps * p
-            p = p - 0.5 * eps * grad_fn(q)
+            p = p - 0.5 * eps * scales * grad_fn(q)
+            q = q + eps * scales * p
+            p = p - 0.5 * eps * scales * grad_fn(q)
             return (q, p), None
 
         (q1, p1), _ = lax.scan(leap, (q, p), None, length=n_steps)
         h1 = -logdensity(q1) + 0.5 * jnp.sum(p1**2)
-        accept = jnp.log(jax.random.uniform(k2, ())) < (h0 - h1)
+        delta = h0 - h1
+        delta = jnp.where(jnp.isfinite(delta), delta, -jnp.inf)
+        accept = jnp.log(jax.random.uniform(k2, ())) < delta
         qn = jnp.where(accept, q1, q)
         return qn, accept
 
@@ -102,10 +109,15 @@ def run_smc(
     target_ess_frac: float = 0.5,
     mutation_steps: int = 10,
     mutation_eps: float = 0.1,
+    mutation_target_accept: float = 0.65,
 ) -> SMCResult:
     """Likelihood-tempered SMC: pi_beta ~ prior * likelihood^beta.
 
     ``sample_prior(key, num) -> (num, dim)`` provides the initial cloud.
+    ``mutation_eps`` only seeds the mutation step size: each stage
+    preconditions momenta with the particle cloud's per-dimension
+    spread and nudges the step size toward ``mutation_target_accept``
+    acceptance (Robbins-Monro on log eps).
     """
     key, k0 = jax.random.split(key)
     particles = sample_prior(k0, num_particles)
@@ -121,6 +133,7 @@ def run_smc(
         beta: jax.Array
         log_Z: jax.Array
         stage: jax.Array
+        eps: jax.Array  # adapted mutation step size
         key: jax.Array
 
     def cond(c: Carry):
@@ -138,18 +151,30 @@ def run_smc(
         log_Z = c.log_Z + jax.nn.logsumexp(lw) - jnp.log(lw.shape[0])
         particles = _systematic_resample(k_res, lw, c.particles)
         logdensity = lambda q: temper(q, beta_new)  # noqa: E731
-        particles, _acc = _hmc_mutation(
+        # population-preconditioned momenta: the resampled cloud's
+        # per-dimension spread is a free mass-matrix estimate
+        scales = jnp.std(particles, axis=0) + 1e-12
+        particles, acc = _hmc_mutation(
             k_mut,
             particles,
             logdensity,
-            jnp.asarray(mutation_eps, dtype),
+            c.eps,
+            scales,
             n_steps=mutation_steps,
+        )
+        # per-stage step-size adaptation towards ~65% acceptance
+        # (Robbins-Monro on log eps; clipped so one stage cannot jump
+        # more than ~2.3x)
+        rate = jnp.mean(acc.astype(dtype))
+        eps = c.eps * jnp.exp(
+            jnp.clip(rate - mutation_target_accept, -0.3, 0.3)
         )
         return Carry(
             particles=particles,
             beta=beta_new,
             log_Z=log_Z,
             stage=c.stage + 1,
+            eps=eps,
             key=key,
         )
 
@@ -161,6 +186,7 @@ def run_smc(
             beta=jnp.zeros((), dtype),
             log_Z=jnp.zeros((), dtype),
             stage=jnp.zeros((), jnp.int32),
+            eps=jnp.asarray(mutation_eps, dtype),
             key=key,
         ),
     )
@@ -169,4 +195,5 @@ def run_smc(
         log_evidence=out.log_Z,
         n_stages=out.stage,
         final_beta=out.beta,
+        mutation_eps=out.eps,
     )

@@ -95,12 +95,20 @@ def _backend(n: int, ref=None) -> str:
     # (multi-level blocked scan on TPU, lax.associative_scan elsewhere)
     thr = cfg.assoc_threshold
     if thr is None:
-        # TPU: the engine wins in-graph from N~256 up, but its graph
-        # inside deeply nested samplers (NUTS tree doubling) costs
-        # minutes of XLA compile; 4096 keeps small interactive models
-        # on the fast-compiling scan tier.  Set assoc_threshold=64
-        # explicitly for long production runs at moderate N.
-        thr = 4096 if _on_tpu() else 1024
+        if _on_tpu():
+            # The engine wins in-graph from N~256 up, but its graph
+            # inside VMAPPED samplers with data-dependent while loops
+            # (NUTS tree doubling) costs minutes of XLA compile — and
+            # vmapped evaluation also amortizes the scan tier's
+            # per-step latency across the batch.  So: batched traces
+            # stay conservative; plain jit models get the fast tier
+            # from N=256.  Set assoc_threshold explicitly (e.g. 64)
+            # for long production runs at moderate N.
+            from celerite2_tpu.ops.assoc import _vmapped
+
+            thr = 4096 if _vmapped(ref) else 256
+        else:
+            thr = 1024
     return "assoc" if n >= thr else "scan"
 
 

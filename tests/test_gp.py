@@ -198,3 +198,28 @@ def test_conditional_sample_shape(data, kernel):
     cond = gp.condition(y, t=t_new)
     s = cond.sample(jax.random.PRNGKey(1), shape=(7,), regularize=1e-10)
     assert s.shape == (7, 20)
+
+
+def test_predict_mean_is_differentiable():
+    """The conditional mean at new points flows gradients (through the
+    general_matmul cumulative scans — the reference's general matmuls
+    are forward-only, definitions.json:264; here autodiff covers them)."""
+    rng = np.random.default_rng(8)
+    N, M = 60, 17
+    t = np.sort(rng.uniform(0, 10, N))
+    yerr = np.full(N, 0.2)
+    y = np.sin(t)
+    t_new = np.linspace(0, 10, M)
+
+    def f(log_rho):
+        kernel = terms.SHOTerm(sigma=1.0, rho=jnp.exp(log_rho), tau=2.0)
+        gp = GaussianProcess(kernel, t=t, yerr=yerr)
+        mu = gp.predict(jnp.asarray(y), t=t_new)
+        return jnp.sum(mu**2)
+
+    g = jax.grad(f)(jnp.asarray(1.0))
+    assert np.isfinite(float(g))
+    # finite-difference cross-check
+    eps = 1e-5
+    fd = (f(jnp.asarray(1.0 + eps)) - f(jnp.asarray(1.0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)

@@ -100,10 +100,21 @@ def test_smc_gaussian(gaussian_target):
     np.testing.assert_allclose(
         p.std(axis=0), np.sqrt(np.diag(cov)), rtol=0.3
     )
-    # log evidence of Gaussian/Gaussian is analytic:
-    # Z = integral prior * like = N(mu; 0, cov + 0) ... here like is an
-    # unnormalized ratio, so just check finiteness and plausible scale
-    assert np.isfinite(float(res.log_evidence))
+    # the Gaussian/Gaussian evidence IS analytic here: the estimator
+    # targets  Z = int N(q; 0, 9 I) * exp(logp - log_prior) dq
+    #            = (2 pi)^{3/2} |cov|^{1/2} / (18 pi)^{3/2}
+    # (both logp and log_prior are unnormalized exponents)
+    logZ_true = (
+        1.5 * np.log(2 * np.pi)
+        + 0.5 * np.linalg.slogdet(cov)[1]
+        - 1.5 * np.log(18 * np.pi)
+    )
+    assert abs(float(res.log_evidence) - logZ_true) < 0.15, (
+        float(res.log_evidence),
+        logZ_true,
+    )
+    # the mutation step size adapted away from its seed
+    assert float(res.mutation_eps) > 0
 
 
 def test_nuts_gp_hyperparameters():

@@ -7,6 +7,7 @@ from celerite2_tpu.parallel.mesh import (
 )
 from celerite2_tpu.parallel.sharded import (
     make_sharded_logdensity,
+    sharded_conditional_variance,
     sharded_apply_inverse,
     sharded_dot_tril,
     sharded_factor,
@@ -33,5 +34,6 @@ __all__ = [
     "sharded_apply_inverse",
     "sharded_dot_tril",
     "sharded_predict_mean",
+    "sharded_conditional_variance",
     "make_sharded_logdensity",
 ]

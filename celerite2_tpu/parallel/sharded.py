@@ -61,6 +61,7 @@ __all__ = [
     "sharded_apply_inverse",
     "sharded_dot_tril",
     "sharded_predict_mean",
+    "sharded_conditional_variance",
     "make_sharded_logdensity",
 ]
 
@@ -445,62 +446,92 @@ def sharded_factor(t, c, a, U, V, *, axis_name="seq"):
     return d, W, ok
 
 
+def _as_mat(y):
+    return (y[:, None], True) if y.ndim == 1 else (y, False)
+
+
+def _fold_shards_mat(gA, gb, idx, *, later_first):
+    """Matrix-RHS variant of :func:`_fold_shards` (gb (n_dev, D, K))."""
+    n_dev = gA.shape[0]
+    dim = gA.shape[-1]
+    K = gb.shape[-1]
+    accA = jnp.eye(dim, dtype=gA.dtype)
+    accb = jnp.zeros((dim, K), gb.dtype)
+    order = range(n_dev - 1, -1, -1) if later_first else range(n_dev)
+    for k in order:
+        newA = gA[k] @ accA
+        newb = gA[k] @ accb + gb[k]
+        take = (k > idx) if later_first else (k < idx)
+        accA = jnp.where(take, newA, accA)
+        accb = jnp.where(take, newb, accb)
+    return accb
+
+
 def sharded_solve_lower(t, c, U, W, y, *, axis_name="seq"):
-    """z = L^{-1} y on sequence shards (vector RHS)."""
+    """z = L^{-1} y on sequence shards (vector or matrix RHS)."""
     B, J = U.shape
     dtype = U.dtype
     idx = lax.axis_index(axis_name)
     n_dev = lax.axis_size(axis_name)
     right, _ = _right_left(n_dev)
+    Y, is_vec = _as_mat(y)
+    K = Y.shape[1]
 
     phi = _sharded_transport(axis_name, t, c, right)
     U_prev = _prev_rows(U, axis_name, right)
     W_prev = _prev_rows(W, axis_name, right)
-    y_prev = _prev_rows(y, axis_name, right)
+    Y_prev = _prev_rows(Y, axis_name, right)
 
     I = jnp.eye(J, dtype=dtype)
     A_el = phi[:, :, None] * (
         I[None] - W_prev[:, :, None] * U_prev[:, None, :]
     )
-    b_el = phi * (W_prev * y_prev[:, None])
+    b_el = phi[:, :, None] * (
+        W_prev[:, :, None] * Y_prev[:, None, :]
+    )
     Apf, bpf = _engine_scan(
-        _mat_affine_combine, (A_el, b_el[..., None]), _id_affine
+        _mat_affine_combine, (A_el, b_el), _id_affine
     )
     gA = lax.all_gather(Apf[-1], axis_name)
-    gb = lax.all_gather(bpf[-1, :, 0], axis_name)
-    F_in = _fold_shards(gA, gb, idx, later_first=False)
-    F_post = _bmv(Apf, jnp.broadcast_to(F_in, (B, J))) + bpf[..., 0]
-    return y - jnp.sum(U * F_post, axis=-1)
+    gb = lax.all_gather(bpf[-1], axis_name)
+    F_in = _fold_shards_mat(gA, gb, idx, later_first=False)
+    F_post = _bmm(Apf, jnp.broadcast_to(F_in, (B, J, K))) + bpf
+    Z = Y - jnp.sum(U[:, :, None] * F_post, axis=1)
+    return Z[:, 0] if is_vec else Z
 
 
 def sharded_solve_upper(t, c, U, W, y, *, axis_name="seq"):
-    """z = L^{-T} y on sequence shards (vector RHS)."""
+    """z = L^{-T} y on sequence shards (vector or matrix RHS)."""
     B, J = U.shape
     dtype = U.dtype
     idx = lax.axis_index(axis_name)
     n_dev = lax.axis_size(axis_name)
     right, left = _right_left(n_dev)
+    Y, is_vec = _as_mat(y)
+    K = Y.shape[1]
 
     phi = _sharded_transport_up(axis_name, t, c, left)
     U_next = _next_rows(U, axis_name, left)
     W_next = _next_rows(W, axis_name, left)
-    y_next = _next_rows(y, axis_name, left)
+    Y_next = _next_rows(Y, axis_name, left)
 
     I = jnp.eye(J, dtype=dtype)
     # F_r = phi_r (I - u_{r+1} w_{r+1}^T) F_{r+1} + phi_r u_{r+1} z_{r+1}
     A_el = phi[:, :, None] * (
         I[None] - U_next[:, :, None] * W_next[:, None, :]
     )
-    b_el = phi * (U_next * y_next[:, None])
+    b_el = phi[:, :, None] * (
+        U_next[:, :, None] * Y_next[:, None, :]
+    )
     A_suf, b_suf = _suffix_states(
-        (A_el, b_el[..., None]), _mat_affine_combine, _id_affine,
-        reverse=True,
+        (A_el, b_el), _mat_affine_combine, _id_affine, reverse=True
     )
     gA = lax.all_gather(A_suf[0], axis_name)
-    gb = lax.all_gather(b_suf[0, :, 0], axis_name)
-    F_in = _fold_shards(gA, gb, idx, later_first=True)
-    F_post = _bmv(A_suf, jnp.broadcast_to(F_in, (B, J))) + b_suf[..., 0]
-    return y - jnp.sum(W * F_post, axis=-1)
+    gb = lax.all_gather(b_suf[0], axis_name)
+    F_in = _fold_shards_mat(gA, gb, idx, later_first=True)
+    F_post = _bmm(A_suf, jnp.broadcast_to(F_in, (B, J, K))) + b_suf
+    Z = Y - jnp.sum(W[:, :, None] * F_post, axis=1)
+    return Z[:, 0] if is_vec else Z
 
 
 def _sharded_matmul(t, c, A, B_mat, y, *, axis_name, upper):
@@ -574,10 +605,36 @@ def sharded_matmul_upper(t, c, U, V, y, *, axis_name="seq"):
 
 
 def sharded_apply_inverse(t, c, U, W, d, y, *, axis_name="seq"):
-    """K^{-1} y = L^{-T} d^{-1} L^{-1} y on sequence shards."""
+    """K^{-1} y = L^{-T} d^{-1} L^{-1} y on sequence shards
+    (vector or matrix RHS)."""
     z = sharded_solve_lower(t, c, U, W, y, axis_name=axis_name)
-    z = z / _safe(d)
+    z = z / (_safe(d) if z.ndim == 1 else _safe(d)[:, None])
     return sharded_solve_upper(t, c, U, W, z, axis_name=axis_name)
+
+
+def sharded_conditional_variance(
+    t, c, a, U, V, KxsT_local, k0, *, axis_name="seq"
+):
+    """Conditional predictive variance with the length-N axis sharded.
+
+    The reference's conditional variance is a dense O(N M) contraction
+    (core.py:52-66,134-140) with no sharding story; here the N rows of
+    the cross-covariance ``KxsT (B, M)`` live on their sequence shards
+    (the caller builds them with ``kernel.get_value`` under an
+    ``in_spec P(axis, None)``), the M solves run through the
+    matrix-RHS sharded ops, and one psum reduces the contraction:
+
+        var_m = k0 - sum_n KxsT[n, m] * (K^{-1} KxsT)[n, m]
+
+    Returns the replicated (M,) variance vector.
+    """
+    d, W, _ = sharded_factor(t, c, a, U, V, axis_name=axis_name)
+    Kinv_KxsT = sharded_apply_inverse(
+        t, c, U, W, d, KxsT_local, axis_name=axis_name
+    )
+    return k0 - lax.psum(
+        jnp.sum(KxsT_local * Kinv_KxsT, axis=0), axis_name
+    )
 
 
 def sharded_dot_tril(t, c, U, W, d, y, *, axis_name="seq"):

@@ -295,3 +295,40 @@ def test_sharded_loglik_time_gradient(mesh_seq):
     g_sh = jax.jit(jax.grad(sharded_ll))(tj)
     g_ref = jax.jit(jax.grad(unsharded_ll))(tj)
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_conditional_variance_matches(mesh_seq):
+    """Sharded predictive variance (matrix-RHS solves + psum
+    contraction) vs the single-device ConditionalDistribution."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import sharded as sh
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    t_new = np.linspace(2, 18, 24)
+
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    var_ref = np.asarray(gp.condition(y, t=t_new).variance)
+
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    KxsT = jnp.asarray(
+        np.asarray(kernel.get_value(t[:, None] - t_new[None, :]))
+    )
+    k0 = jnp.asarray(float(np.asarray(kernel.get_value(np.zeros(1)))[0]))
+
+    seq = P("seq")
+    fn = jax.jit(
+        jax.shard_map(
+            lambda tl, cl, al, Ul, Vl, Kl, k0l: sh.sharded_conditional_variance(
+                tl, cl, al, Ul, Vl, Kl, k0l
+            ),
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, P("seq", None), P()),
+            out_specs=P(),
+        )
+    )
+    var = fn(jnp.asarray(t), c, a, U, V, KxsT, k0)
+    np.testing.assert_allclose(var, var_ref, rtol=1e-7, atol=1e-9)

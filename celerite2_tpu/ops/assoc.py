@@ -87,7 +87,7 @@ DEFAULT_ENGINE_BLOCK = 64
 
 
 def two_level_prefix(combine, elems, identity, *, reverse=False,
-                     block=None):
+                     block=None, distribute_combine=None):
     """Inclusive prefix composition of ``elems`` along axis 0 via a
     recursive blocked scheme.
 
@@ -101,6 +101,13 @@ def two_level_prefix(combine, elems, identity, *, reverse=False,
     on the ~N/block block maps, then one batched combine distributes
     the (exclusive) block prefixes to every row.  Sequential steps
     total ~block * log_block(N); work ~2N combines per level.
+
+    ``distribute_combine`` (optional): a cheaper combine used ONLY for
+    the top-level distribute step — the fattest single op, whose output
+    most callers consume only partially (e.g. the factor prefix only
+    needs Q per row).  It must return the SAME pytree structure; the
+    unneeded leaves may hold placeholder values.  The recursion and the
+    small-N leaf always use the full ``combine``.
     """
     if block is None:
         from celerite2_tpu.config import get_config
@@ -108,7 +115,10 @@ def two_level_prefix(combine, elems, identity, *, reverse=False,
         block = get_config().engine_block
     if reverse:
         flipped = jax.tree_util.tree_map(lambda x: x[::-1], elems)
-        out = two_level_prefix(combine, flipped, identity, block=block)
+        out = two_level_prefix(
+            combine, flipped, identity, block=block,
+            distribute_combine=distribute_combine,
+        )
         return jax.tree_util.tree_map(lambda x: x[::-1], out)
 
     leaves = jax.tree_util.tree_leaves(elems)
@@ -168,7 +178,7 @@ def two_level_prefix(combine, elems, identity, *, reverse=False,
     excl_b = jax.tree_util.tree_map(
         lambda e, p: jnp.broadcast_to(e[None], p.shape), excl, prefixes
     )
-    full = combine(excl_b, prefixes)
+    full = (distribute_combine or combine)(excl_b, prefixes)
 
     def from_lm(x):
         x = jnp.swapaxes(x, 0, 1).reshape((L * NB,) + x.shape[2:])
@@ -226,11 +236,20 @@ def _use_two_level() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _engine_scan(combine, elems, identity, *, reverse=False):
-    """Pick the platform-appropriate prefix-composition engine."""
+def _engine_scan(combine, elems, identity, *, reverse=False,
+                 distribute_combine=None):
+    """Pick the platform-appropriate prefix-composition engine.
+
+    ``distribute_combine`` is a two-level-only optimization (see
+    :func:`two_level_prefix`); the associative_scan path ignores it
+    (full results everywhere), so callers may rely only on the leaves
+    the reduced combine documents as valid.
+    """
     if _use_two_level():
-        return two_level_prefix(combine, elems, identity,
-                                reverse=reverse)
+        return two_level_prefix(
+            combine, elems, identity, reverse=reverse,
+            distribute_combine=distribute_combine,
+        )
     return lax.associative_scan(combine, elems, reverse=reverse)
 
 
@@ -251,7 +270,8 @@ def _diag_affine_scan(alpha, beta, *, reverse=False):
         return a2 * a1, a2 * b1 + b2
 
     _, f = _engine_scan(combine, (alpha, beta), _id_diag,
-                        reverse=reverse)
+                        reverse=reverse,
+                        distribute_combine=_diag_distribute_b)
     return f
 
 
@@ -328,6 +348,23 @@ def _mat_affine_combine(e1, e2):
     return _bmm(A2, A1), _bmm(A2, b1) + b2
 
 
+def _affine_distribute_b(e1, e2):
+    """Distribute-phase affine combine: only the b (state) slot of the
+    result is valid; the A slot is a passthrough placeholder.  Skips
+    the (D, D) @ (D, D) map product — the fattest op of the engine's
+    fattest phase — for callers that consume per-row STATES only."""
+    A1, b1 = e1
+    A2, b2 = e2
+    return A2, _bmm(A2, b1) + b2
+
+
+def _diag_distribute_b(e1, e2):
+    """Diagonal-affine distribute: only beta is valid."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return a2, a2 * b1 + b2
+
+
 @_full_precision
 def solve_lower_assoc(t, c, U, W, Y):
     N, J = U.shape
@@ -346,7 +383,8 @@ def solve_lower_assoc(t, c, U, W, Y):
     )
     with jax.default_matmul_precision("highest"):
         A_pref, b_pref = _engine_scan(
-            _mat_affine_combine, (A, b), _id_affine
+            _mat_affine_combine, (A, b), _id_affine,
+            distribute_combine=_affine_distribute_b,
         )
     F_post = b_pref  # applied to F_init = 0
     Z = Y - jnp.sum(U[:, :, None] * F_post, axis=1)
@@ -377,7 +415,8 @@ def solve_upper_assoc(t, c, U, W, Y):
 
     with jax.default_matmul_precision("highest"):
         A_pref, b_pref = _engine_scan(
-            _mat_affine_combine, (A, b), _id_affine, reverse=True
+            _mat_affine_combine, (A, b), _id_affine, reverse=True,
+            distribute_combine=_affine_distribute_b,
         )
     F_post = b_pref
     Z = Y - jnp.sum(W[:, :, None] * F_post, axis=1)
@@ -488,6 +527,20 @@ def _riccati_combine(e1, e2):
     return A12, Q12, R12
 
 
+def _riccati_distribute_Q(e1, e2):
+    """Distribute-phase Riccati combine: only the Q slot (the composed
+    state applied to S0 = 0) is valid; A/R are passthroughs.  One
+    solve + two products instead of the full five."""
+    A1, Q1, R1 = e1
+    A2, Q2, R2 = e2
+    J = A1.shape[-1]
+    I = jnp.eye(J, dtype=A1.dtype)
+    GQ1 = _small_solve(I + _bmm(Q1, R2), Q1)
+    Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
+    Q12 = 0.5 * (Q12 + _mT(Q12))
+    return A2, Q12, R2
+
+
 @_full_precision
 def factor_assoc(t, c, a, U, V):
     """Associative-scan LDL^T.  Returns ``(d, W, S_half)`` identical to
@@ -519,7 +572,8 @@ def factor_assoc(t, c, a, U, V):
     # compositions need full precision or pivots go negative
     with jax.default_matmul_precision("highest"):
         _, S_full, _ = _engine_scan(
-            _riccati_combine, (A, Q, R), _id_riccati
+            _riccati_combine, (A, Q, R), _id_riccati,
+            distribute_combine=_riccati_distribute_Q,
         )
     # S applied to S_init = 0 is just the combined Q
     d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
@@ -604,6 +658,23 @@ def _kalman_combine(e1, e2):
     return A12, Q12, R12, b12, eta12
 
 
+def _kalman_distribute(e1, e2):
+    """Distribute-phase fused combine: only the Q (covariance state)
+    and b (mean state) slots of the result are valid."""
+    A1, Q1, R1, b1, eta1 = e1
+    A2, Q2, R2, b2, eta2 = e2
+    J = A1.shape[-1]
+    I = jnp.eye(J, dtype=A1.dtype)
+    rhs = jnp.concatenate([Q1, b1 + _bmm(Q1, eta2)], axis=-1)
+    G = _small_solve(I + _bmm(Q1, R2), rhs)
+    GQ1 = G[..., :J]
+    Gb = G[..., J:]
+    Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
+    Q12 = 0.5 * (Q12 + _mT(Q12))
+    b12 = b2 + _bmm(A2, Gb)
+    return A2, Q12, R2, b12, eta2
+
+
 @_full_precision
 def factor_solve_assoc(t, c, a, U, V, Y):
     """Fused factor + lower solve in ONE engine pass.
@@ -644,7 +715,8 @@ def factor_solve_assoc(t, c, a, U, V, Y):
 
     with jax.default_matmul_precision("highest"):
         _, S_full, _, F_post, _ = _engine_scan(
-            _kalman_combine, (A, Q, R, b, eta), _id_kalman
+            _kalman_combine, (A, Q, R, b, eta), _id_kalman,
+            distribute_combine=_kalman_distribute,
         )
     # prefix applied to (S0, F0) = (0, 0): S = combined Q, F = combined b
     d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
@@ -682,10 +754,12 @@ def factor_solve_assoc(t, c, a, U, V, Y):
 # step map to the J^2 basis matrices — bug-resistant and exact.
 
 
-def _suffix_states(elems, combine, identity, *, reverse):
+def _suffix_states(elems, combine, identity, *, reverse,
+                   distribute_combine=None):
     """Inclusive prefix/suffix composition results for affine elements."""
     with jax.default_matmul_precision("highest"):
-        return _engine_scan(combine, elems, identity, reverse=reverse)
+        return _engine_scan(combine, elems, identity, reverse=reverse,
+                            distribute_combine=distribute_combine)
 
 
 @_full_precision
@@ -728,7 +802,8 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
         bvec = -p[:, :, None] * jnp.einsum("nj,nk->njk", An, bZn)
         _, R = _suffix_states(
             (Amat, bvec), _mat_affine_combine, _id_affine,
-            reverse=not upper
+            reverse=not upper,
+            distribute_combine=_affine_distribute_b,
         )  # applied to zero init
     else:
         alpha = jnp.broadcast_to(p[:, :, None], (p.shape[0], J, K))
@@ -742,7 +817,8 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
             return a2 * a1, a2 * b1 + b2
 
         _, R = _suffix_states(
-            (alpha, beta), diag_combine, _id_diag, reverse=not upper
+            (alpha, beta), diag_combine, _id_diag, reverse=not upper,
+            distribute_combine=_diag_distribute_b,
         )
 
     # carry entering step n: the state AFTER the neighbouring step
@@ -906,7 +982,8 @@ def _frev_suffix_states(par, *, block=None):
     # ---- phase B: compose block maps (application order)
     with jax.default_matmul_precision("highest"):
         L_pref, c_pref = _engine_scan(
-            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine
+            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine,
+            distribute_combine=_affine_distribute_b,
         )
     # exclusive prefix applied to the zero init -> incoming block state
     c_excl = jnp.concatenate(
@@ -1051,7 +1128,8 @@ def _structured_suffix_states(apply_fn, identity_fn, par, dim,
 
     with jax.default_matmul_precision("highest"):
         _, c_pref = _engine_scan(
-            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine
+            _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine,
+            distribute_combine=_affine_distribute_b,
         )
     c_excl = jnp.concatenate(
         [jnp.zeros_like(c_pref[:1]), c_pref[:-1]], axis=0
@@ -1104,7 +1182,7 @@ def _pair_dense_suffix_states(par, dim):
     Lmat, cvec = _pair_dense_elements(par, dim)
     _, x_aft = _suffix_states(
         (Lmat, cvec[..., None]), _mat_affine_combine, _id_affine,
-        reverse=True,
+        reverse=True, distribute_combine=_affine_distribute_b,
     )
     x_aft = x_aft[..., 0]  # state AFTER each step (suffix incl.)
     # carry entering step n = state after step n+1
@@ -1279,7 +1357,7 @@ def _frev_suffix_states_dense(p, u, w, bv0n, bdpn):
     Cv = (p[:, :, None] * mid0 * p[:, None, :]).reshape(-1, J * J)
     _, R = _suffix_states(
         (L, Cv[..., None]), _mat_affine_combine, _id_affine,
-        reverse=True
+        reverse=True, distribute_combine=_affine_distribute_b,
     )
     R = R.reshape(-1, J, J)  # bS after each step (applied to zero init)
     # carry entering step n = state after step n+1

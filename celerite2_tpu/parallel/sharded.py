@@ -61,6 +61,9 @@ __all__ = [
     "sharded_apply_inverse",
     "sharded_dot_tril",
     "sharded_predict_mean",
+    "sharded_predict_mean_at",
+    "sharded_general_matmul_lower",
+    "sharded_general_matmul_upper",
     "sharded_conditional_variance",
     "make_sharded_logdensity",
 ]
@@ -643,6 +646,144 @@ def sharded_dot_tril(t, c, U, W, d, y, *, axis_name="seq"):
     return z + sharded_matmul_lower(
         t, c, U, W, z, axis_name=axis_name
     )
+
+
+def sharded_general_matmul_lower(
+    t1, t2, c, U1, V2, Y, *, axis_name="seq"
+):
+    """Rectangular cross-covariance product with the SOURCE axis
+    sharded: ``Z[n] = sum_{m: t2[m] <= t1[n]} U1[n] .
+    diag(e^{-c (t1[n]-t2[m])}) V2[m] Y[m]``.
+
+    ``t1 (M,)``, ``U1 (M, J)`` replicated target points; ``t2 (B,)``,
+    ``V2 (B, J)``, ``Y (B,)`` local source shards.  Returns the
+    replicated ``Z (M,)``.  (Sharded role of reference
+    forward.hpp:285-332; used for conditional means at new points.)
+    """
+    B, J = V2.shape
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right, left = _right_left(n_dev)
+
+    # transported inclusive cumulative F[m] = p_m F[m-1] + V2[m] Y[m]
+    phi = _sharded_transport(axis_name, t2, c, right)
+    G = V2 * Y[:, None]
+    pa, pb = _engine_scan(
+        lambda e1, e2: (e2[0] * e1[0], e2[0] * e1[1] + e2[1]),
+        (phi, G),
+        lambda e: (
+            jnp.ones((1, J), phi.dtype),
+            jnp.zeros((1, J), G.dtype),
+        ),
+    )
+    F_loc = pa * _fold_diag_in(pa, pb, idx, n_dev, axis_name) + pb
+
+    # ownership: this shard holds the LAST source <= t1[n]
+    i_loc = jnp.searchsorted(t2, t1, side="right") - 1
+    has_local = i_loc >= 0
+    # the next shard's first source (+inf past the end)
+    t2_next0 = lax.ppermute(t2[0], axis_name, left)
+    t2_next0 = jnp.where(
+        idx == n_dev - 1, jnp.full_like(t2_next0, jnp.inf), t2_next0
+    )
+    owner = jnp.logical_and(has_local, t1 < t2_next0)
+
+    i_c = jnp.clip(i_loc, 0, B - 1)
+    decay = jnp.exp(-c[None, :] * (t1 - t2[i_c])[:, None])
+    Z_part = jnp.sum(U1 * decay * F_loc[i_c], axis=-1)
+    Z_part = jnp.where(owner, Z_part, jnp.zeros_like(Z_part))
+    return lax.psum(Z_part, axis_name)
+
+
+def sharded_general_matmul_upper(
+    t1, t2, c, U1, V2, Y, *, axis_name="seq"
+):
+    """Upper counterpart: sources strictly AFTER each target
+    (reference forward.hpp:346-392, source axis sharded)."""
+    B, J = V2.shape
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    right, left = _right_left(n_dev)
+
+    # reverse transported cumulative F[m] = p_m F[m+1] + V2[m] Y[m]
+    phi_up = _sharded_transport_up(axis_name, t2, c, left)
+    G = V2 * Y[:, None]
+    pa, pb = _engine_scan(
+        lambda e1, e2: (e2[0] * e1[0], e2[0] * e1[1] + e2[1]),
+        (phi_up, G),
+        lambda e: (
+            jnp.ones((1, J), phi_up.dtype),
+            jnp.zeros((1, J), G.dtype),
+        ),
+        reverse=True,
+    )
+    # incoming suffix carry from the RIGHT shards
+    ga = lax.all_gather(pa[0], axis_name)
+    gb = lax.all_gather(pb[0], axis_name)
+    acc_a = jnp.ones((J,), pa.dtype)
+    acc_b = jnp.zeros((J,), pb.dtype)
+    for k in range(n_dev - 1, -1, -1):
+        na = ga[k] * acc_a
+        nb = ga[k] * acc_b + gb[k]
+        take = k > idx
+        acc_a = jnp.where(take, na, acc_a)
+        acc_b = jnp.where(take, nb, acc_b)
+    F_loc = pa * acc_b[None, :] + pb
+
+    # ownership: this shard holds the FIRST source > t1[n]
+    i_loc = jnp.searchsorted(t2, t1, side="right")
+    has_local = i_loc < B
+    t2_prev_last = lax.ppermute(t2[-1], axis_name, right)
+    t2_prev_last = jnp.where(
+        idx == 0, jnp.full_like(t2_prev_last, -jnp.inf), t2_prev_last
+    )
+    owner = jnp.logical_and(has_local, t1 >= t2_prev_last)
+
+    i_c = jnp.clip(i_loc, 0, B - 1)
+    decay = jnp.exp(-c[None, :] * (t2[i_c] - t1)[:, None])
+    Z_part = jnp.sum(U1 * decay * F_loc[i_c], axis=-1)
+    Z_part = jnp.where(owner, Z_part, jnp.zeros_like(Z_part))
+    return lax.psum(Z_part, axis_name)
+
+
+def _fold_diag_in(pa, pb, idx, n_dev, axis_name):
+    """Incoming diagonal-affine carry from the LEFT shards."""
+    J = pa.shape[-1]
+    ga = lax.all_gather(pa[-1], axis_name)
+    gb = lax.all_gather(pb[-1], axis_name)
+    acc_a = jnp.ones((J,), pa.dtype)
+    acc_b = jnp.zeros((J,), pb.dtype)
+    for k in range(n_dev):
+        na = ga[k] * acc_a
+        nb = ga[k] * acc_b + gb[k]
+        take = k < idx
+        acc_a = jnp.where(take, na, acc_a)
+        acc_b = jnp.where(take, nb, acc_b)
+    return acc_b[None, :]
+
+
+def sharded_predict_mean_at(
+    t, c, a, U, V, resid, t_new, U_new, V_new, *, axis_name="seq"
+):
+    """Conditional mean at NEW (replicated) points with the training
+    axis sharded: ``mu = K*(t_new, t) K^{-1} resid`` via the sharded
+    general matmuls (reference core.py:91-113 general path).
+
+    ``t_new (M,)``, ``U_new/V_new (M, J)`` are the new points'
+    celerite matrices (replicated); training arrays are local shards.
+    Returns the replicated ``mu (M,)``.
+    """
+    d, W, _ = sharded_factor(t, c, a, U, V, axis_name=axis_name)
+    alpha = sharded_apply_inverse(
+        t, c, U, W, d, resid, axis_name=axis_name
+    )
+    lower = sharded_general_matmul_lower(
+        t_new, t, c, U_new, V, alpha, axis_name=axis_name
+    )
+    upper = sharded_general_matmul_upper(
+        t_new, t, c, V_new, U, alpha, axis_name=axis_name
+    )
+    return lower + upper
 
 
 def sharded_predict_mean(t, c, a, U, V, diag, resid, *,

@@ -332,3 +332,49 @@ def test_sharded_conditional_variance_matches(mesh_seq):
     )
     var = fn(jnp.asarray(t), c, a, U, V, KxsT, k0)
     np.testing.assert_allclose(var, var_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_predict_mean_at_new_points(mesh_seq):
+    """Conditional mean at new points with the training axis sharded
+    (sharded general matmuls) vs the single-device path."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import sharded as sh
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    # new points both inside, before, and after the training span
+    t_new = np.concatenate(
+        [np.linspace(-2.0, 22.0, 37), np.asarray([0.0, 19.99])]
+    )
+    t_new = np.sort(t_new)
+
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    mu_ref = np.asarray(gp.predict(y, t=t_new, include_mean=False))
+
+    zeros_t = np.zeros_like(t)
+    zeros_n = np.zeros_like(t_new)
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    _, _, U2, V2 = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t_new, zeros_n)
+    )
+    # a with observational diag is what factor consumes; rebuild
+    seq = P("seq")
+    fn = jax.jit(
+        jax.shard_map(
+            lambda tl, cl, al, Ul, Vl, rl, tn, Un, Vn: sh.sharded_predict_mean_at(
+                tl, cl, al, Ul, Vl, rl, tn, Un, Vn
+            ),
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, seq, P(), P(), P()),
+            out_specs=P(),
+        )
+    )
+    mu = fn(
+        jnp.asarray(t), c, a, U, V, jnp.asarray(y),
+        jnp.asarray(t_new), U2, V2,
+    )
+    np.testing.assert_allclose(mu, mu_ref, rtol=1e-7, atol=1e-9)

@@ -83,8 +83,6 @@ __all__ = [
 #     ~500+ cycles/row whenever a reduction sits on the carried path.
 
 
-DEFAULT_ENGINE_BLOCK = 64
-
 
 def two_level_prefix(combine, elems, identity, *, reverse=False,
                      block=None, distribute_combine=None):

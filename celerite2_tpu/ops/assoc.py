@@ -509,13 +509,13 @@ def _riccati_combine(e1, e2):
     A2, Q2, R2 = e2
     J = A1.shape[-1]
     I = jnp.eye(J, dtype=A1.dtype)
-    # Gamma = (I + Q1 R2)^{-1}; R2 Gamma = (I + R2 Q1)^{-1} R2
-    GAQ = _small_solve(
-        I + _bmm(Q1, R2), jnp.concatenate([A1, Q1], axis=-1)
-    )
-    GA1 = GAQ[..., :J]
-    GQ1 = GAQ[..., J:]
-    R2G = _small_solve(I + _bmm(R2, Q1), R2)
+    # Gamma = (I + Q1 R2)^{-1}; the push-through identity
+    # (I + R2 Q1)^{-1} R2 == R2 Gamma shares ONE inverse for all three
+    # uses (was two independent solves)
+    G = _small_inv(I + _bmm(Q1, R2))
+    GA1 = _bmm(G, A1)
+    GQ1 = _bmm(G, Q1)
+    R2G = _bmm(R2, G)
     A12 = _bmm(A2, GA1)
     Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
     R12 = R1 + _bmm(_bmm(_mT(A1), R2G), A1)
@@ -635,17 +635,18 @@ def _kalman_combine(e1, e2):
     A2, Q2, R2, b2, eta2 = e2
     J = A1.shape[-1]
     I = jnp.eye(J, dtype=A1.dtype)
-    # Gamma = (I + Q1 R2)^{-1} applied to [A1 | Q1 | (b1 + Q1 eta2)]
-    rhs = jnp.concatenate([A1, Q1, b1 + _bmm(Q1, eta2)], axis=-1)
-    G = _small_solve(I + _bmm(Q1, R2), rhs)
-    GA1 = G[..., :J]
-    GQ1 = G[..., J : 2 * J]
-    Gb = G[..., 2 * J :]
-    # E = (I + R2 Q1)^{-1} applied to [R2 | (eta2 - R2 b1)]
-    rhsE = jnp.concatenate([R2, eta2 - _bmm(R2, b1)], axis=-1)
-    E = _small_solve(I + _bmm(R2, Q1), rhsE)
-    R2G = E[..., :J]
-    Eeta = E[..., J:]
+    # Gamma = (I + Q1 R2)^{-1}; the push-through identity gives every
+    # (I + R2 Q1)^{-1} X as either X' Gamma or via Gamma^T products, so
+    # ONE inverse serves all five uses:
+    #   (I + R2 Q1)^{-1} R2        == R2 Gamma
+    #   (I + R2 Q1)^{-1} v         == (I - R2 Gamma Q1) v
+    G = _small_inv(I + _bmm(Q1, R2))
+    GA1 = _bmm(G, A1)
+    GQ1 = _bmm(G, Q1)
+    Gb = _bmm(G, b1 + _bmm(Q1, eta2))
+    R2G = _bmm(R2, G)
+    vE = eta2 - _bmm(R2, b1)
+    Eeta = vE - _bmm(R2G, _bmm(Q1, vE))
     A12 = _bmm(A2, GA1)
     Q12 = Q2 + _bmm(_bmm(A2, GQ1), _mT(A2))
     R12 = R1 + _bmm(_bmm(_mT(A1), R2G), A1)

@@ -1271,7 +1271,7 @@ def factor_solve_rev_assoc(
         dinv[1:],
     )
     dim = _pair_dim(J)
-    if J <= 4 and not _vmapped(U):
+    if J <= 2 and not _vmapped(U):
         x_in, x_fin = _pair_dense_suffix_states(par, dim)
     else:
         x_in, x_fin = _structured_suffix_states(
@@ -1389,13 +1389,13 @@ def factor_rev_assoc(t, c, a, U, V, d, W, S, bd, bW):
     bv0n = bv0[1:]
     bdpn = bdp[1:]
 
-    if J <= 4 and not _vmapped(U):
-        # measured faster at small J for SINGLE evaluations: materialize
-        # the (J^2, J^2) linear part per row (closed form) and run the
-        # dense affine engine.  Under vmap (chain fleets) the per-row
-        # (J^2, J^2) maps cost O(C N J^4) HBM — and TPU tile padding of
-        # the 16-wide minor dim multiplies that 8x — so fleets route to
-        # the structured scheme (O(C N J^2) memory).
+    if J <= 2 and not _vmapped(U):
+        # measured faster ONLY at J <= 2 for SINGLE evaluations:
+        # materializing the (J^2, J^2) linear part per row is cheap for
+        # 4x4 maps, but at J = 4 the 16-wide map dims hit the TPU's
+        # (8, 128) tile padding (8x memory) and the dense route is ~5x
+        # SLOWER than structured (and 14x slower at J = 8); vmapped
+        # fleets always take the structured O(C N J^2) scheme.
         M_in = _frev_suffix_states_dense(p, u, w, bv0n, bdpn)
     else:
         M_in = _frev_suffix_states((p, u, w, bv0n, bdpn))

@@ -318,23 +318,24 @@ def matmul_upper_assoc(t, c, U, V, Y):
 def _bmm(A, B):
     """Batched (..., n, m) @ (..., m, k).
 
-    Tiny (J <= 4-ish) matmuls use broadcast-multiply-reduce: XLA lowers
-    batched tiny dots on TPU by padding each operand to an MXU tile
-    (measured ~40 us per (NB, 2, 2) dispatch inside a scan) while the
-    fused elementwise form runs on the VPU at full utilization.  Larger
-    contractions (the J^2-sized reverse maps) use a real dot_general —
-    the broadcast intermediate is (..., n, m, k) and at m = J^2 = 16 a
-    vmapped chain fleet materializes it into tens of GB.
+    Small matmuls (m < 16) use broadcast-multiply-reduce: XLA lowers
+    batched tiny dots on TPU by padding each operand to an MXU tile —
+    measured ~40 us per (NB, 2, 2) dispatch inside a scan, and even
+    8x8 dots cost 7x at the whole-likelihood level (76 -> 10 ms/eval at
+    J=8, N=1e5).  Contractions of m >= 16 (the J^2-sized reverse block
+    maps) use a real dot_general: there the broadcast intermediate
+    (..., n, m, k) is m^3/element and materializes into GBs under
+    vmapped fleets.
     """
     m = A.shape[-1]
-    if m >= 8:
+    if m >= 16:
         return A @ B
     return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
 
 
 def _bmv(A, x):
     """Batched matrix-vector product (..., n, m) @ (..., m)."""
-    if A.shape[-1] >= 8:
+    if A.shape[-1] >= 16:
         return jnp.einsum("...nm,...m->...n", A, x)
     return jnp.sum(A * x[..., None, :], axis=-1)
 

@@ -135,7 +135,6 @@ def _fleet_ess_rate():
     )
     gp = GaussianProcess(kernel, t=t, yerr=yerr)
     y = np.asarray(gp.sample(jax.random.PRNGKey(5)))
-    set_config(assoc_threshold=64)
 
     tj, yj, yerrj = jnp.asarray(t), jnp.asarray(y), jnp.asarray(yerr)
 
@@ -154,22 +153,32 @@ def _fleet_ess_rate():
     init = jnp.asarray(
         [0.0, np.log(5.0), np.log(10.0), -0.5, np.log(3.0)], tj.dtype
     )
-    t0 = time.perf_counter()
-    res = jax.block_until_ready(
-        run_hmc(
-            logpost,
-            init,
-            jax.random.PRNGKey(1),
-            num_warmup=60,
-            num_samples=60,
-            num_chains=64,
-            max_leapfrog=48,
-            chunk_size=20,  # bounded device executions (CLAUDE.md)
+    # snapshot/restore the WHOLE config (ADVICE r2: don't clobber the
+    # caller's assoc_threshold, and restore even on exceptions)
+    from celerite2_tpu.config import get_config
+
+    prior = get_config()
+    try:
+        set_config(assoc_threshold=64)
+        t0 = time.perf_counter()
+        res = jax.block_until_ready(
+            run_hmc(
+                logpost,
+                init,
+                jax.random.PRNGKey(1),
+                num_warmup=60,
+                num_samples=60,
+                num_chains=64,
+                max_leapfrog=48,
+                chunk_size=20,  # bounded device executions (CLAUDE.md)
+            )
         )
-    )
-    wall = time.perf_counter() - t0
-    ess = float(np.min(np.asarray(effective_sample_size(res.samples))))
-    set_config(assoc_threshold=None)
+        wall = time.perf_counter() - t0
+        ess = float(
+            np.min(np.asarray(effective_sample_size(res.samples)))
+        )
+    finally:
+        set_config(**prior.__dict__)
     return ess / wall
 
 

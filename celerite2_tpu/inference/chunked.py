@@ -69,12 +69,24 @@ def drive_chunks(
 
     outs_acc = None
     start_idx = 0
+    sched_meta = np.asarray([int(chunk_size), int(total)], np.int64)
     if checkpoint is not None:
         latest = checkpoint.latest_step()
         if latest is not None:
+            # a checkpoint written under a different chunk schedule
+            # cannot be resumed bit-compatibly: validate before touching
+            # segments[latest] (ADVICE r2: IndexError / silent shape
+            # mismatch when chunk_size or step counts changed)
+            if latest >= len(segments):
+                raise ValueError(
+                    f"checkpoint step {latest} does not exist in the "
+                    f"current schedule ({len(segments)} chunks of "
+                    f"{chunk_size}); the saved run used a different "
+                    "chunk_size/total — restart or match the schedule"
+                )
+            lo, hi = segments[latest]
             # rebuild the restore template from known shapes: run the
             # schedule prefix shape inference with eval_shape
-            lo, hi = segments[latest]
             probe = jax.eval_shape(
                 seg_fn, carry, _slice_sched(sched, 0, hi)
             )
@@ -83,8 +95,17 @@ def drive_chunks(
                 outs=jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), probe[1]
                 ),
+                sched_meta=sched_meta,
             )
             restored = checkpoint.restore(latest, template=template)
+            saved_meta = np.asarray(restored.get("sched_meta", sched_meta))
+            if not np.array_equal(saved_meta, sched_meta):
+                raise ValueError(
+                    f"checkpoint was written with (chunk_size, total) = "
+                    f"{tuple(saved_meta)}, current run uses "
+                    f"{tuple(sched_meta)}; resume requires an identical "
+                    "chunk schedule"
+                )
             carry = restored["carry"]
             outs_acc = restored["outs"]
             start_idx = latest + 1
@@ -107,6 +128,7 @@ def drive_chunks(
                 dict(
                     carry=jax.tree_util.tree_map(np.asarray, carry),
                     outs=outs_acc,
+                    sched_meta=sched_meta,
                 ),
             )
         if monitor is not None and stat_fn is not None:

@@ -69,6 +69,25 @@ __all__ = [
 ]
 
 
+def _vma(x):
+    """Varying manual axes of ``x`` (empty outside shard_map)."""
+    return frozenset(getattr(jax.typeof(x), "vma", frozenset()))
+
+
+def _pcast_up(x, target):
+    """Promote ``x`` to vary over every mesh axis in ``target``.
+
+    ``pcast(..., to='varying')`` is a real primitive whose transpose is
+    a psum over the added axes — exactly the reduction a replicated
+    primal's cotangent needs when the surrounding computation varies
+    over more axes than the primal does (e.g. chain-varying theta with
+    chains-replicated data under a (chains, seq) mesh)."""
+    missing = tuple(sorted(target - _vma(x)))
+    if not missing:
+        return x
+    return lax.pcast(x, missing, to="varying")
+
+
 def _prefix_incoming(blocks, idx, combine, identity):
     """Fold block maps 0..idx-1 (n_dev is small: unrolled masked fold)."""
     n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
@@ -98,7 +117,18 @@ def sharded_loglik(t, c, a, U, V, resid, *, axis_name="seq"):
     memory per shard instead of autodiff taping every engine
     intermediate (role of reference reverse.hpp:10-85 +
     internal.hpp:191-303, sequence-sharded).
+
+    Under a multi-axis mesh the arguments may vary over different
+    manual-axis sets (theta-derived ``c/a/U/V`` vary over ``chains``,
+    the data ``t/resid`` only over ``seq``): the custom-VJP type
+    contract requires cotangents to match primal varying axes, so all
+    primals are promoted to the union first (the inserted ``pcast``'s
+    transpose psums the replicated primals' cotangents over the added
+    axes — the mathematically correct reduction).
     """
+    args = (t, c, a, U, V, resid)
+    union = frozenset().union(*(_vma(x) for x in args))
+    t, c, a, U, V, resid = (_pcast_up(x, union) for x in args)
     return _sharded_loglik_vjp(axis_name, t, c, a, U, V, resid)
 
 
@@ -319,7 +349,11 @@ def _sharded_loglik_bwd(axis_name, res, bll):
         x_in, phi, U, W, F_pre, S_half, bz_cot,
         jnp.zeros_like(W), bd_s, dinv,
     )
-    bc = lax.psum(jnp.sum(bp * (-dts)[:, None], axis=0), axis_name)
+    # LOCAL c-contribution only: every primal was promoted to the union
+    # vma in sharded_loglik, so the cotangent for c must VARY over seq
+    # (the per-shard share) — the outer pcast's transpose performs the
+    # one true psum.  A psum here would double-count it n_dev times.
+    bc = jnp.sum(bp * (-dts)[:, None], axis=0)
     ft = bp @ c
     # bt[r] = ft[r+1] - ft[r]; the r+1 of the shard's last row lives on
     # the right neighbour (zero past the global end)
@@ -327,7 +361,11 @@ def _sharded_loglik_bwd(axis_name, res, bll):
         [ft[1:], lax.ppermute(ft[0], axis_name, left)[None]]
     )
     bt = ft_next - ft
-    return bt, bc, ba, bU, bV, bz
+    # safety: all cotangents should already vary over the union vma
+    # (they are built from union-varying residuals); pcast is a no-op
+    # then, and fixes up any replicated stragglers otherwise.
+    union = _vma(U)
+    return tuple(_pcast_up(b, union) for b in (bt, bc, ba, bU, bV, bz))
 
 
 _sharded_loglik_vjp.defvjp(_sharded_loglik_fwd, _sharded_loglik_bwd)

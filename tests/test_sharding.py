@@ -297,6 +297,91 @@ def test_sharded_loglik_time_gradient(mesh_seq):
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-6, atol=1e-9)
 
 
+def test_combined_mesh_loglik_grad(mesh8):
+    """value_and_grad(sharded_loglik) under vmap(chains) inside a
+    (chains=2, seq=4) shard_map — the configuration that regressed in
+    round 2 (MULTICHIP_r02): theta-derived c/a/U/V vary over the
+    ``chains`` mesh axis while t/resid vary only over ``seq``, so the
+    custom-VJP cotangents must be reduced/promoted onto each primal's
+    own varying axes.  Checks gradient VALUES against the unsharded
+    path, not just that it compiles."""
+    t, yerr, y = _data(64)
+    tj, yj = jnp.asarray(t), jnp.asarray(y)
+    yerrj = jnp.asarray(yerr)
+
+    def builder(theta):
+        return terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+
+    from celerite2_tpu.parallel.sharded import sharded_loglik
+
+    def body(thetas, tl, yl, yerrl):
+        def one_chain(theta):
+            def ll(th):
+                kernel = builder(th)
+                c, a, U, V = kernel.get_celerite_matrices(
+                    tl, yerrl**2
+                )
+                return sharded_loglik(
+                    tl, c, a, U, V, yl, axis_name="seq"
+                )
+
+            return jax.value_and_grad(ll)(theta)
+
+        return jax.vmap(one_chain)(thetas)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh8,
+            in_specs=(P("chains", None), P("seq"), P("seq"), P("seq")),
+            out_specs=(P("chains"), P("chains", None)),
+        )
+    )
+    thetas = jnp.asarray(
+        [[1.2, 4.0, 3.0], [0.8, 5.0, 2.0], [1.5, 3.0, 4.0],
+         [1.0, 4.5, 2.5]]
+    )
+    vals, grads = fn(thetas, tj, yj, yerrj)
+
+    def ref(theta):
+        state = gp_compute(builder(theta), t, yerr=yerr)
+        return gp_log_likelihood(state, y)
+
+    for k in range(4):
+        v_ref, g_ref = jax.value_and_grad(ref)(thetas[k])
+        np.testing.assert_allclose(vals[k], v_ref, rtol=1e-8)
+        np.testing.assert_allclose(
+            grads[k], g_ref, rtol=1e-6, atol=1e-9
+        )
+
+
+def test_hmc_train_step_combined_mesh(mesh8):
+    """make_hmc_train_step — the exact dryrun_multichip code path —
+    runs on the combined (chains x seq) mesh and produces finite,
+    moving states."""
+    from celerite2_tpu.parallel.train_step import make_hmc_train_step
+
+    t, yerr, y = _data(64)
+
+    def builder(theta):
+        return terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        )
+
+    step_fn, init_fn = make_hmc_train_step(
+        builder, t, y, yerr, mesh8, step_size=0.01, num_leapfrog=2
+    )
+    qs, keys = init_fn(4, 3, jax.random.PRNGKey(0))
+    qs2, accept = step_fn(qs, keys)
+    assert qs2.shape == (4, 3)
+    assert np.all(np.isfinite(np.asarray(qs2)))
+    assert accept.shape == (4,)
+
+
 def test_sharded_conditional_variance_matches(mesh_seq):
     """Sharded predictive variance (matrix-RHS solves + psum
     contraction) vs the single-device ConditionalDistribution."""

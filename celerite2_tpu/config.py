@@ -85,6 +85,13 @@ class Config:
     # (wide J / small N), loses at J<=2 where the joint state's D^3
     # combine traffic outweighs the saved pass (measured on v5e)
     paired_reverse: bool = False
+    # entry-planes Pallas prefix engine (ops/planes_engine.py): runs
+    # the two-level scheme's sequential loops inside Mosaic kernels on
+    # an entry-per-plane layout (full-tile elementwise combines, no
+    # lax.scan while-loop overhead).  "auto" is currently OFF pending
+    # real-TPU measurements (see planes_engine.planes_enabled);
+    # "on"/"off" force (on CPU "on" uses pallas interpret mode)
+    planes: Literal["auto", "on", "off"] = "auto"
 
 
 _config = Config()

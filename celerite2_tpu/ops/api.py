@@ -237,6 +237,35 @@ matmul_upper = _sweep_op(
 # searchsorted + gather against the scanned carry.
 
 
+def _transported_cumulative(phi, G, *, reverse=False):
+    """Inclusive transported cumulative ``F_m = phi_m * F_prev + G_m``.
+
+    Tier-routed like the other ops: the sequential ``lax.scan`` pays
+    ~2.5 us/step of while-loop latency (0.25 s at M=1e5), so from the
+    assoc threshold up the diag-affine prefix engine runs it instead
+    (same engine as the sharded variant, parallel/sharded.py).
+    """
+    M = G.shape[0]
+    if _dispatch._backend(M, ref=G) == "assoc":
+        from celerite2_tpu.ops import assoc
+
+        alpha = jnp.broadcast_to(phi[:, :, None], G.shape)
+        return assoc._diag_affine_scan(alpha, G, reverse=reverse)
+
+    def step(F, inp):
+        p, g = inp
+        F = p[:, None] * F + g
+        return F, F
+
+    _, F = jax.lax.scan(
+        step,
+        jnp.zeros(G.shape[1:], dtype=G.dtype),
+        (phi, G),
+        reverse=reverse,
+    )
+    return F
+
+
 def general_matmul_lower(t1, t2, c, U, V, Y):
     """Z[n] = sum_{m: t2[m] <= t1[n]} U[n] . diag(e^{-c (t1[n]-t2[m])}) V[m] Y[m].
 
@@ -248,16 +277,7 @@ def general_matmul_lower(t1, t2, c, U, V, Y):
     # inclusive transported cumulative (a diagonal affine scan).
     phi = _scan.transport(t2, c)
     G = V[:, :, None] * Y[:, None, :]  # (M, J, K)
-
-    def step(F, inp):
-        p, g = inp
-        F = p[:, None] * F + g
-        return F, F
-
-    J, K = c.shape[0], Y.shape[1]
-    _, F = jax.lax.scan(
-        step, jnp.zeros((J, K), dtype=Y.dtype), (phi, G)
-    )
+    F = _transported_cumulative(phi, G)
 
     # index of the last source point with t2[m] <= t1[n]
     idx = jnp.searchsorted(t2, t1, side="right") - 1
@@ -275,19 +295,7 @@ def general_matmul_upper(t1, t2, c, U, V, Y):
     # reverse-time cumulative: F[m] = sum_{l >= m} transported V^T Y
     phi_up = _scan.transport_up(t2, c)
     G = V[:, :, None] * Y[:, None, :]
-
-    def step(F, inp):
-        p, g = inp
-        F = p[:, None] * F + g
-        return F, F
-
-    J, K = c.shape[0], Y.shape[1]
-    _, F = jax.lax.scan(
-        step,
-        jnp.zeros((J, K), dtype=Y.dtype),
-        (phi_up, G),
-        reverse=True,
-    )
+    F = _transported_cumulative(phi_up, G, reverse=True)
 
     # first source point with t2[m] > t1[n]
     idx = jnp.searchsorted(t2, t1, side="right")

@@ -235,14 +235,28 @@ def _use_two_level() -> bool:
 
 
 def _engine_scan(combine, elems, identity, *, reverse=False,
-                 distribute_combine=None):
+                 distribute_combine=None, spec=None):
     """Pick the platform-appropriate prefix-composition engine.
 
     ``distribute_combine`` is a two-level-only optimization (see
     :func:`two_level_prefix`); the associative_scan path ignores it
     (full results everywhere), so callers may rely only on the leaves
     the reduced combine documents as valid.
+
+    ``spec``: optional :class:`~celerite2_tpu.ops.planes.PlanesSpec`
+    for this element family — routes through the entry-planes Pallas
+    engine (``ops/planes_engine.py``) when enabled, which kills both
+    the per-step ``lax.scan`` overhead and the (J, J)-on-tile layout
+    waste of the generic two-level scheme.
     """
+    if spec is not None:
+        from celerite2_tpu.ops.planes_engine import (
+            planes_enabled, prefix_planes,
+        )
+
+        leaf = jax.tree_util.tree_leaves(elems)[0]
+        if planes_enabled(_vmapped(leaf)):
+            return prefix_planes(spec, elems, reverse=reverse)
     if _use_two_level():
         return two_level_prefix(
             combine, elems, identity, reverse=reverse,
@@ -267,9 +281,13 @@ def _diag_affine_scan(alpha, beta, *, reverse=False):
         a2, b2 = e2
         return a2 * a1, a2 * b1 + b2
 
+    from celerite2_tpu.ops.planes import diag_affine_spec
+
     _, f = _engine_scan(combine, (alpha, beta), _id_diag,
                         reverse=reverse,
-                        distribute_combine=_diag_distribute_b)
+                        distribute_combine=_diag_distribute_b,
+                        spec=diag_affine_spec(
+                            alpha.shape[1:], alpha.dtype))
     return f
 
 
@@ -340,6 +358,12 @@ def _bmv(A, x):
     return jnp.sum(A * x[..., None, :], axis=-1)
 
 
+def _planes_affine(D, K, dtype):
+    from celerite2_tpu.ops.planes import mat_affine_spec
+
+    return mat_affine_spec(D, K, dtype)
+
+
 def _mat_affine_combine(e1, e2):
     """(A, b) composition for F' = A2 (A1 F + b1) + b2 (e1 earlier)."""
     A1, b1 = e1
@@ -384,6 +408,7 @@ def solve_lower_assoc(t, c, U, W, Y):
         A_pref, b_pref = _engine_scan(
             _mat_affine_combine, (A, b), _id_affine,
             distribute_combine=_affine_distribute_b,
+            spec=_planes_affine(J, Y.shape[1], U.dtype),
         )
     F_post = b_pref  # applied to F_init = 0
     Z = Y - jnp.sum(U[:, :, None] * F_post, axis=1)
@@ -416,6 +441,7 @@ def solve_upper_assoc(t, c, U, W, Y):
         A_pref, b_pref = _engine_scan(
             _mat_affine_combine, (A, b), _id_affine, reverse=True,
             distribute_combine=_affine_distribute_b,
+            spec=_planes_affine(J, Y.shape[1], U.dtype),
         )
     F_post = b_pref
     Z = Y - jnp.sum(W[:, :, None] * F_post, axis=1)
@@ -570,9 +596,12 @@ def factor_assoc(t, c, a, U, V):
     # TPU f32 matmuls default to bf16 on the MXU; 1e5 Riccati
     # compositions need full precision or pivots go negative
     with jax.default_matmul_precision("highest"):
+        from celerite2_tpu.ops.planes import riccati_spec
+
         _, S_full, _ = _engine_scan(
             _riccati_combine, (A, Q, R), _id_riccati,
             distribute_combine=_riccati_distribute_Q,
+            spec=riccati_spec(J, U.dtype),
         )
     # S applied to S_init = 0 is just the combined Q
     d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
@@ -714,9 +743,12 @@ def factor_solve_assoc(t, c, a, U, V, Y):
     )
 
     with jax.default_matmul_precision("highest"):
+        from celerite2_tpu.ops.planes import kalman_spec
+
         _, S_full, _, F_post, _ = _engine_scan(
             _kalman_combine, (A, Q, R, b, eta), _id_kalman,
             distribute_combine=_kalman_distribute,
+            spec=kalman_spec(J, K, U.dtype),
         )
     # prefix applied to (S0, F0) = (0, 0): S = combined Q, F = combined b
     d = a - jnp.sum(_bmv(S_full, U) * U, axis=-1)
@@ -755,11 +787,12 @@ def factor_solve_assoc(t, c, a, U, V, Y):
 
 
 def _suffix_states(elems, combine, identity, *, reverse,
-                   distribute_combine=None):
+                   distribute_combine=None, spec=None):
     """Inclusive prefix/suffix composition results for affine elements."""
     with jax.default_matmul_precision("highest"):
         return _engine_scan(combine, elems, identity, reverse=reverse,
-                            distribute_combine=distribute_combine)
+                            distribute_combine=distribute_combine,
+                            spec=spec)
 
 
 @_full_precision
@@ -804,6 +837,7 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
             (Amat, bvec), _mat_affine_combine, _id_affine,
             reverse=not upper,
             distribute_combine=_affine_distribute_b,
+            spec=_planes_affine(J, K, dtype),
         )  # applied to zero init
     else:
         alpha = jnp.broadcast_to(p[:, :, None], (p.shape[0], J, K))
@@ -816,9 +850,12 @@ def sweep_rev_assoc(t, c, A, B, Y, Z, F, bZ, *, is_solve, upper):
             a2, b2 = e2
             return a2 * a1, a2 * b1 + b2
 
+        from celerite2_tpu.ops.planes import diag_affine_spec
+
         _, R = _suffix_states(
             (alpha, beta), diag_combine, _id_diag, reverse=not upper,
             distribute_combine=_diag_distribute_b,
+            spec=diag_affine_spec(alpha.shape[1:], dtype),
         )
 
     # carry entering step n: the state AFTER the neighbouring step
@@ -984,6 +1021,7 @@ def _frev_suffix_states(par, *, block=None):
         L_pref, c_pref = _engine_scan(
             _mat_affine_combine, (L_blk, c_blk[..., None]), _id_affine,
             distribute_combine=_affine_distribute_b,
+            spec=_planes_affine(J * J, 1, dtype),
         )
     # exclusive prefix applied to the zero init -> incoming block state
     c_excl = jnp.concatenate(
@@ -1091,6 +1129,13 @@ def _structured_suffix_states(apply_fn, identity_fn, par, dim,
     p = par[0]
     M_steps = p.shape[0]
     dtype = p.dtype
+    if M_steps == 0:
+        # zero steps (N = 1): nothing to compose (mirrors the dense
+        # twin _pair_dense_suffix_states' M_steps guard)
+        return (
+            jnp.zeros((0, dim), dtype),
+            jnp.zeros((dim,), dtype),
+        )
 
     par_app = jax.tree_util.tree_map(lambda x: x[::-1], par)
     L = min(block, M_steps) or 1
@@ -1358,6 +1403,7 @@ def _frev_suffix_states_dense(p, u, w, bv0n, bdpn):
     _, R = _suffix_states(
         (L, Cv[..., None]), _mat_affine_combine, _id_affine,
         reverse=True, distribute_combine=_affine_distribute_b,
+        spec=_planes_affine(J * J, 1, dtype),
     )
     R = R.reshape(-1, J, J)  # bS after each step (applied to zero init)
     # carry entering step n = state after step n+1

@@ -99,6 +99,34 @@ def test_general_matmul_vs_dense():
     np.testing.assert_allclose(Zl + Zu, Kstar.T @ Y, atol=1e-9)
 
 
+def test_general_matmul_assoc_tier_parity():
+    """The assoc-tier transported cumulative (prefix engine) matches
+    the sequential-scan form for the general matmuls (the single-chip
+    prediction path; role of reference forward.hpp:285-392)."""
+    from celerite2_tpu.config import get_config, set_config
+
+    (t, c, a, U, V, Y, t2, U2, V2, K, Kstar) = get_matrices(
+        conditional=True, include_dense=True
+    )
+    t, t2 = jnp.asarray(t), jnp.asarray(t2)
+    prior = get_config()
+    try:
+        set_config(backend="scan")
+        Zl0 = ops.general_matmul_lower(t2, t, c, U2, V, Y)
+        Zu0 = ops.general_matmul_upper(t2, t, c, V2, U, Y)
+        set_config(backend="assoc")
+        Zl1, Zu1 = jax.jit(
+            lambda: (
+                ops.general_matmul_lower(t2, t, c, U2, V, Y),
+                ops.general_matmul_upper(t2, t, c, V2, U, Y),
+            )
+        )()
+    finally:
+        set_config(**prior.__dict__)
+    np.testing.assert_allclose(Zl1, Zl0, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(Zu1, Zu0, rtol=1e-10, atol=1e-13)
+
+
 def test_nonpd_detection():
     t, c, a, U, V, Y = get_matrices()
     a_bad = np.asarray(a).copy()

@@ -1,0 +1,156 @@
+"""Parity of the entry-planes Pallas prefix engine (ops/planes_engine)
+against the generic two-level engine, all element families.
+
+Runs on CPU in pallas interpret mode (planes="on" forces the planes
+routing; interpret is automatic off-TPU).  N is kept small: interpret
+mode evaluates the kernel per grid step and the unrolled leaf is
+compile-heavy on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from celerite2_tpu import terms
+from celerite2_tpu.config import get_config, set_config
+from celerite2_tpu.ops import assoc
+from celerite2_tpu.ops import scan as scan_ops
+
+
+@pytest.fixture
+def planes_on(monkeypatch):
+    from celerite2_tpu.ops import planes_engine
+
+    # shrink the HS leaf so small-N tests exercise the pallas kernel
+    # and the recursion, not just the doubling prefix
+    monkeypatch.setattr(planes_engine, "_LEAF", 16)
+    prior = get_config()
+    set_config(planes="on")
+    try:
+        yield
+    finally:
+        set_config(**prior.__dict__)
+
+
+def _system(N, J=2, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.sort(rng.uniform(0, 10, N))
+    if J == 2:
+        kernel = terms.SHOTerm(sigma=1.3, rho=3.4, tau=2.9)
+    else:
+        kernel = terms.SHOTerm(sigma=1.3, rho=3.4, tau=2.9) + terms.SHOTerm(
+            sigma=0.7, rho=1.1, tau=5.0
+        )
+    c, a, U, V = kernel.get_celerite_matrices(
+        jnp.asarray(t), jnp.full(N, 0.04)
+    )
+    Y = jnp.asarray(rng.normal(size=(N, 1)))
+    return jnp.asarray(t), c, a, U, V, Y
+
+
+# leaf-only (N < 48), one kernel level, and two kernel levels
+@pytest.mark.parametrize("N", [17, 130])
+def test_factor_solve_parity(planes_on, N):
+    t, c, a, U, V, Y = _system(N)
+    set_config(planes="off")
+    d0, W0, S0 = assoc.factor_assoc(t, c, a, U, V)
+    Z0, F0 = assoc.solve_lower_assoc(t, c, U, W0, Y)
+    set_config(planes="on")
+    d1, W1, S1 = assoc.factor_assoc(t, c, a, U, V)
+    Z1, F1 = assoc.solve_lower_assoc(t, c, U, W1, Y)
+    for x0, x1 in [(d0, d1), (W0, W1), (S0, S1), (Z0, Z1), (F0, F1)]:
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x0), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_factor_solve_fused_parity(planes_on):
+    t, c, a, U, V, Y = _system(120)
+    set_config(planes="off")
+    ref = assoc.factor_solve_assoc(t, c, a, U, V, Y)
+    set_config(planes="on")
+    out = assoc.factor_solve_assoc(t, c, a, U, V, Y)
+    for x0, x1 in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x0), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_solve_upper_matmul_parity(planes_on):
+    t, c, a, U, V, Y = _system(97)
+    set_config(planes="off")
+    d0, W0, _ = assoc.factor_assoc(t, c, a, U, V)
+    su0 = assoc.solve_upper_assoc(t, c, U, W0, Y)
+    ml0 = assoc.matmul_lower_assoc(t, c, U, V, Y)
+    mu0 = assoc.matmul_upper_assoc(t, c, U, V, Y)
+    set_config(planes="on")
+    _, W1, _ = assoc.factor_assoc(t, c, a, U, V)
+    su1 = assoc.solve_upper_assoc(t, c, U, W1, Y)
+    ml1 = assoc.matmul_lower_assoc(t, c, U, V, Y)
+    mu1 = assoc.matmul_upper_assoc(t, c, U, V, Y)
+    for p0, p1 in [(su0, su1), (ml0, ml1), (mu0, mu1)]:
+        for x0, x1 in zip(p0, p1):
+            np.testing.assert_allclose(
+                np.asarray(x1), np.asarray(x0), rtol=1e-9, atol=1e-12
+            )
+
+
+def test_loglik_grad_parity(planes_on):
+    """End-to-end: value_and_grad of the GP loglik through the planes
+    engine (exercises factor_rev dense + sweep_rev paths)."""
+    from celerite2_tpu.gp import gp_compute, gp_log_likelihood
+
+    rng = np.random.default_rng(3)
+    N = 110
+    t = np.sort(rng.uniform(0, 10, N))
+    y = rng.normal(size=N)
+    yerr = np.full(N, 0.2)
+
+    def ll(theta):
+        kernel = terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+        state = gp_compute(kernel, jnp.asarray(t), yerr=jnp.asarray(yerr))
+        return gp_log_likelihood(state, jnp.asarray(y))
+
+    theta = jnp.asarray([1.2, 3.1, 2.4])
+    prior = get_config()
+    set_config(planes="off", backend="assoc")
+    v0, g0 = jax.value_and_grad(ll)(theta)
+    set_config(planes="on", backend="assoc")
+    v1, g1 = jax.value_and_grad(ll)(theta)
+    set_config(**prior.__dict__)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-8, atol=1e-11
+    )
+
+
+def test_wide_j_riccati_parity(planes_on):
+    """J=4 exercises the Schur-recursion p_inv base."""
+    t, c, a, U, V, Y = _system(90, J=4)
+    set_config(planes="off")
+    d0, W0, S0 = assoc.factor_assoc(t, c, a, U, V)
+    set_config(planes="on")
+    d1, W1, S1 = assoc.factor_assoc(t, c, a, U, V)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W0), rtol=1e-8, atol=1e-11
+    )
+
+
+def test_planes_vs_scan_oracle(planes_on):
+    """Planes-engine factorization against the sequential oracle."""
+    t, c, a, U, V, Y = _system(75)
+    set_config(planes="on")
+    d1, W1, _ = assoc.factor_assoc(t, c, a, U, V)
+    d2, W2, _ = scan_ops.factor_scan(t, c, a, U, V)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W2), rtol=1e-8, atol=1e-11
+    )

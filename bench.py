@@ -75,8 +75,11 @@ def time_fn(fn, args, chain_len, *, reps, warmup=1):
     return dt, float(v)
 
 
-def main():
-    N = 100_000
+def main(smoke: bool = False):
+    """Full benchmark, or ``--smoke``: a minutes-scale CI gate (small N,
+    short chains, no fleet) that checks the metric pipeline end to end
+    and still prints the one JSON line."""
+    N = 4_096 if smoke else 100_000
     rng = np.random.default_rng(42)
     t = jnp.asarray(np.sort(rng.uniform(0, 1000, N)))
     yerr = jnp.full(N, 0.25, t.dtype)
@@ -93,7 +96,12 @@ def main():
     # metric reflects device compute, not tunnel noise
     results = {}
     vals = {}
-    for backend, chain_len, reps in (("scan", 2, 1), ("assoc", 150, 3)):
+    plan = (
+        (("scan", 2, 1), ("assoc", 10, 1))
+        if smoke
+        else (("scan", 2, 1), ("assoc", 150, 3))
+    )
+    for backend, chain_len, reps in plan:
         fn = make_fn(backend, chain_len)
         dt, val = time_fn(fn, args, chain_len, reps=reps)
         results[backend] = 1.0 / dt
@@ -105,17 +113,19 @@ def main():
 
     best = max(results.values())
     baseline = results["scan"]
-    print(
-        json.dumps(
-            {
-                "metric": "gp_loglik_grad_evals_per_s_N1e5_SHOTerm",
-                "value": round(best, 3),
-                "unit": "evals/s",
-                "vs_baseline": round(best / baseline, 3),
-                "ess_per_s_fleet_N3e4_C64": round(_fleet_ess_rate(), 3),
-            }
-        )
-    )
+    payload = {
+        "metric": (
+            "gp_loglik_grad_evals_per_s_N4096_SHOTerm_smoke"
+            if smoke
+            else "gp_loglik_grad_evals_per_s_N1e5_SHOTerm"
+        ),
+        "value": round(best, 3),
+        "unit": "evals/s",
+        "vs_baseline": round(best / baseline, 3),
+    }
+    if not smoke:
+        payload["ess_per_s_fleet_N3e4_C64"] = round(_fleet_ess_rate(), 3)
+    print(json.dumps(payload))
 
 
 def _fleet_ess_rate():
@@ -183,4 +193,6 @@ def _fleet_ess_rate():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(smoke="--smoke" in sys.argv[1:])

@@ -4,6 +4,13 @@ The reference ships backend distributions for numpyro and PyMC
 (jax/distribution.py:10-27, pymc/distribution.py:32-128).  This framework
 ships its *own* inference engine (:mod:`celerite2_tpu.inference`), and a
 numpyro adapter that activates when numpyro is importable.
+
+The adapter's behavior lives in :class:`_CeleriteNormalCore`, which is
+independent of numpyro so the full contract (event shape, sample-shape
+handling, log_prob parity with the GP) is tested even when numpyro is
+absent from the environment: the fallback base :class:`_StubBase`
+replicates numpyro ``Distribution``'s construction contract, and
+``tests/test_distributions.py`` exercises the core through it.
 """
 
 from __future__ import annotations
@@ -15,50 +22,85 @@ from celerite2_tpu.gp import gp_dot_tril, gp_log_likelihood
 
 __all__ = ["CeleriteNormal", "gp_numpyro_dist"]
 
+
+class _CeleriteNormalCore:
+    """numpyro-`Distribution`-shaped wrapper over a computed GP
+    (role of reference jax/distribution.py:10-27).
+
+    Mixin: the concrete class composes this with a base supplying
+    ``__init__(batch_shape=, event_shape=, validate_args=)`` and the
+    ``event_shape`` attribute — numpyro's ``Distribution`` when
+    installed, :class:`_StubBase` otherwise.
+    """
+
+    def __init__(self, gp, validate_args=None):
+        self.gp = gp
+        super().__init__(
+            batch_shape=(),
+            event_shape=jnp.shape(gp.state.t),
+            validate_args=validate_args,
+        )
+
+    def sample(self, key, sample_shape=()):
+        n = 1
+        for s in sample_shape:
+            n *= int(s)
+        samp = jax.vmap(
+            lambda k: gp_dot_tril(
+                self.gp.state,
+                jax.random.normal(
+                    k,
+                    self.gp.state.t.shape,
+                    dtype=self.gp.state.t.dtype,
+                ),
+            )
+        )(jax.random.split(key, max(1, n)))
+        samp = samp + self.gp.state.mean_value
+        return samp.reshape(tuple(sample_shape) + tuple(self.event_shape))
+
+    def log_prob(self, value):
+        return gp_log_likelihood(self.gp.state, value)
+
+
+class _StubBase:
+    """Stand-in replicating numpyro ``Distribution``'s construction
+    contract (jax/distribution.py inherits it), used when numpyro is
+    absent so the adapter core stays fully testable."""
+
+    def __init__(self, batch_shape=(), event_shape=(), validate_args=None):
+        self.batch_shape = tuple(batch_shape)
+        self.event_shape = tuple(event_shape)
+        self.validate_args = validate_args
+
+
 try:  # pragma: no cover - numpyro is optional and absent in this image
     import numpyro.distributions as _numpyro_dist
 
-    class CeleriteNormal(_numpyro_dist.Distribution):
-        """numpyro distribution wrapping a computed GP
-        (reference jax/distribution.py:10-27)."""
+    HAS_NUMPYRO = True
 
+    class CeleriteNormal(_CeleriteNormalCore, _numpyro_dist.Distribution):
         support = _numpyro_dist.constraints.real_vector
-
-        def __init__(self, gp, validate_args=None):
-            self.gp = gp
-            super().__init__(
-                batch_shape=(),
-                event_shape=jnp.shape(gp.state.t),
-                validate_args=validate_args,
-            )
-
-        def sample(self, key, sample_shape=()):
-            samp = jax.vmap(
-                lambda k: gp_dot_tril(
-                    self.gp.state,
-                    jax.random.normal(
-                        k,
-                        self.gp.state.t.shape,
-                        dtype=self.gp.state.t.dtype,
-                    ),
-                )
-            )(jax.random.split(key, max(1, int(jnp.prod(jnp.asarray(sample_shape or (1,)))))))
-            samp = samp + self.gp.state.mean_value
-            return samp.reshape(sample_shape + self.event_shape)
-
-        def log_prob(self, value):
-            return gp_log_likelihood(self.gp.state, value)
 
 except ImportError:  # numpyro not installed
 
-    class CeleriteNormal:  # type: ignore[no-redef]
-        """Placeholder raising a clear error when numpyro is absent."""
+    HAS_NUMPYRO = False
 
-        def __init__(self, *args, **kwargs):
-            raise ImportError(
-                "numpyro is not installed; use the built-in inference "
-                "engine (celerite2_tpu.inference) instead"
-            )
+    class CeleriteNormal(_CeleriteNormalCore, _StubBase):  # type: ignore[no-redef]
+        """Fallback when numpyro is absent: identical construction
+        contract and behavior via :class:`_StubBase`.  Constructing it
+        raises a clear error pointing at the built-in engine unless
+        ``_allow_without_numpyro`` is set (tests set it to exercise
+        the adapter core without the dependency)."""
+
+        _allow_without_numpyro = False
+
+        def __init__(self, gp, validate_args=None):
+            if not self._allow_without_numpyro:
+                raise ImportError(
+                    "numpyro is not installed; use the built-in "
+                    "inference engine (celerite2_tpu.inference) instead"
+                )
+            super().__init__(gp, validate_args)
 
 
 def gp_numpyro_dist(gp):

@@ -12,7 +12,7 @@ celerite2_tpu/parallel for the mesh-aware wrapper.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +110,7 @@ def run_smc(
     mutation_steps: int = 10,
     mutation_eps: float = 0.1,
     mutation_target_accept: float = 0.65,
+    particle_axis: Optional[jax.sharding.Sharding] = None,
 ) -> SMCResult:
     """Likelihood-tempered SMC: pi_beta ~ prior * likelihood^beta.
 
@@ -118,10 +119,26 @@ def run_smc(
     preconditions momenta with the particle cloud's per-dimension
     spread and nudges the step size toward ``mutation_target_accept``
     acceptance (Robbins-Monro on log eps).
+
+    ``particle_axis`` (a Sharding, e.g. ``NamedSharding(mesh,
+    P("chains"))``) lays the particle cloud out across the mesh; the
+    program is written with global shapes and XLA's SPMD partitioner
+    turns the global reductions (ESS, evidence, cloud spread, accept
+    rate) into psums and the systematic-resampling gather into
+    all_gather + local take — the TPU-native counterpart of an MPI
+    resampling exchange.  The sharding is re-pinned after resampling
+    and mutation so the layout survives the whole tempering loop.
     """
     key, k0 = jax.random.split(key)
     particles = sample_prior(k0, num_particles)
     dtype = particles.dtype
+    if particle_axis is not None:
+        particles = jax.device_put(particles, particle_axis)
+
+    def _pin(q):
+        if particle_axis is None:
+            return q
+        return jax.lax.with_sharding_constraint(q, particle_axis)
 
     loglike_v = jax.vmap(log_likelihood)
 
@@ -149,7 +166,7 @@ def run_smc(
         lw = delta * ll
         # evidence increment: log mean of incremental weights
         log_Z = c.log_Z + jax.nn.logsumexp(lw) - jnp.log(lw.shape[0])
-        particles = _systematic_resample(k_res, lw, c.particles)
+        particles = _pin(_systematic_resample(k_res, lw, c.particles))
         logdensity = lambda q: temper(q, beta_new)  # noqa: E731
         # population-preconditioned momenta: the resampled cloud's
         # per-dimension spread is a free mass-matrix estimate
@@ -162,6 +179,7 @@ def run_smc(
             scales,
             n_steps=mutation_steps,
         )
+        particles = _pin(particles)
         # per-stage step-size adaptation towards ~65% acceptance
         # (Robbins-Monro on log eps; clipped so one stage cannot jump
         # more than ~2.3x)

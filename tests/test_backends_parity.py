@@ -3,6 +3,9 @@ the reference's backend test tier: jax/ vs numpy/ vs pymc/ suites)."""
 
 import pytest
 
+# compile-heavy cross-backend sweeps: excluded from the CI fast tier
+pytestmark = pytest.mark.slow
+
 from celerite2_tpu.models.terms import (
     ComplexTerm,
     Matern32Term,

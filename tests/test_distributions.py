@@ -39,6 +39,32 @@ def test_placeholder_raises_without_numpyro():
         gp.numpyro_dist()
 
 
+def test_adapter_core_without_numpyro(monkeypatch):
+    """The adapter core (construction contract, event shape, sample-
+    shape handling, log_prob parity) runs against the in-module
+    _StubBase without touching sys.modules."""
+    import celerite2_tpu.distributions as D
+
+    if D.HAS_NUMPYRO:
+        pytest.skip("real numpyro present; the real path covers this")
+    monkeypatch.setattr(
+        D.CeleriteNormal, "_allow_without_numpyro", True
+    )
+    gp, y = _gp()
+    dist = D.gp_numpyro_dist(gp)
+    assert dist.batch_shape == ()
+    assert dist.event_shape == (len(y),)
+    np.testing.assert_allclose(
+        float(dist.log_prob(jnp.asarray(y))),
+        float(gp.log_likelihood(y)),
+        rtol=1e-12,
+    )
+    for shape in [(), (3,), (2, 3)]:
+        s = dist.sample(jax.random.PRNGKey(0), shape)
+        assert s.shape == shape + (len(y),)
+        assert np.all(np.isfinite(np.asarray(s)))
+
+
 def test_adapter_with_stubbed_numpyro():
     """Install a minimal numpyro stub, reload the adapter, and check
     log_prob/sample semantics; restore the placeholder afterwards."""

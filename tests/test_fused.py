@@ -8,6 +8,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-heavy tier-parity sweeps: excluded from the CI fast tier
+pytestmark = pytest.mark.slow
+
 from celerite2_tpu import ops, terms
 from celerite2_tpu.config import get_config, set_config
 from celerite2_tpu.gp import gp_compute, gp_log_likelihood, gp_loglik

@@ -116,6 +116,53 @@ def test_chain_sharded_nuts(mesh8):
     np.testing.assert_allclose(m, np.asarray(mu), atol=0.3)
 
 
+def test_particle_sharded_smc(mesh8):
+    """SMC with the particle cloud sharded over all 8 devices: the
+    systematic-resampling gather, ESS/evidence reductions, and cloud-
+    spread preconditioning all cross device boundaries (XLA SPMD turns
+    them into all_gather/psum).  Must match the unsharded run."""
+    from celerite2_tpu.inference import run_smc
+
+    mu = jnp.asarray([0.5, -0.25])
+
+    def log_prior(q):
+        return -0.5 * jnp.sum(q**2) / 9.0
+
+    def log_like(q):
+        r = q - mu
+        return -0.5 * jnp.sum(r**2) / 0.25
+
+    def sample_prior(key, n):
+        return 3.0 * jax.random.normal(key, (n, 2), jnp.float64)
+
+    kwargs = dict(
+        num_particles=512, mutation_steps=8, mutation_eps=0.4
+    )
+    res_ref = run_smc(
+        log_prior, log_like, sample_prior, jax.random.PRNGKey(3),
+        **kwargs,
+    )
+    sharding = NamedSharding(mesh8, P(("chains", "seq")))
+    res_sh = run_smc(
+        log_prior, log_like, sample_prior, jax.random.PRNGKey(3),
+        particle_axis=sharding, **kwargs,
+    )
+    # the sharded run must still be laid out across devices at the end
+    assert len(res_sh.particles.sharding.device_set) == 8
+    assert float(res_sh.final_beta) == 1.0
+    # identical ladder + identical draws: reductions may reassociate,
+    # so allow roundoff-level drift only
+    assert int(res_sh.n_stages) == int(res_ref.n_stages)
+    np.testing.assert_allclose(
+        float(res_sh.log_evidence), float(res_ref.log_evidence),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sh.particles), np.asarray(res_ref.particles),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
 def test_two_level_engine_inside_shard_map():
     """The TPU multichip path runs two_level_prefix INSIDE shard_map;
     exercise that combination explicitly on the CPU mesh (the platform

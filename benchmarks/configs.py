@@ -8,7 +8,7 @@ fleet HMC, and (config 4) VI + SMC must agree within Monte-Carlo error,
 and the recorded moments serve as regression goldens thereafter).
 
 Usage:
-    python benchmarks/configs.py [config1|config2|config3|config4|tutorial|all]
+    python benchmarks/configs.py [config1|...|config5|tutorial|all]
 
 Each config prints one JSON line:
     {"config": ..., "metrics": {...}, "posterior": {...}}
@@ -241,13 +241,26 @@ def config4():
     decomposition unidentifiable (label-switching-like multimodality)
     and no sampler agreement can be expected.
 
-    Run this config under FLOAT64 (e.g. forced-CPU x64): Matern32Term's
-    eps-regularized complex pair carries a ~1/eps amplitude whose
-    cancellation loses ~5 digits — harmless in f64 (the reference
-    mandates f64 for the same reason, jax/ops.py:84), but in f32 on TPU
-    it can stall NUTS step-size adaptation (measured: a stuck chain and
-    meaningless R-hat).  x64 reference agreement: NUTS/VI/SMC posterior
-    means within ~0.05 on all five parameters."""
+    In an f32 process this config enables the f64 ISLAND
+    (set_config(core_dtype="float64")): Matern32Term's eps-regularized
+    complex pair carries a ~1/eps amplitude whose plain-f32
+    cancellation flips gradient signs and stalls NUTS adaptation
+    (measured; the reference mandates f64 globally for the same
+    reason, jax/ops.py:84).  x64 reference agreement: NUTS/VI/SMC
+    posterior means within ~0.05 on all five parameters."""
+    from celerite2_tpu.config import get_config, set_config
+
+    prior_cfg = get_config()
+    if not jax.config.jax_enable_x64:
+        # f32 process (TPU): run the stiff GP core in the f64 island
+        set_config(core_dtype="float64")
+    try:
+        return _config4_body()
+    finally:
+        set_config(**prior_cfg.__dict__)
+
+
+def _config4_body():
     from celerite2_tpu import GaussianProcess, terms
     from celerite2_tpu.gp import gp_loglik
     from celerite2_tpu.inference import fit_map, run_advi, run_nuts, run_smc
@@ -452,11 +465,100 @@ def tutorial(num_warmup=1000, num_samples=1000):
     )
 
 
+# ----------------------------------------------------------- config 5
+
+
+def config5(n=1_000_000, chain_len=20, reps=3):
+    """BASELINE config 5's single-chip slice: loglik+grad throughput
+    and peak device memory at N=1e6 (VERDICT r2 item 4; the full
+    config is N=1e6 x 4096 chains on a multi-host mesh, blocked on
+    hardware — this measures the per-chip building block every
+    sharding decision needs).
+
+    Measured in-graph (chain_len chained value_and_grad evals inside
+    one jit, as a sampler consumes the density) on the assoc engine
+    with auto-tuned levels; J=2 (SHOTerm) and J=4 (SHO mixture).
+    Reference counterpart: the same N on the sequential single-thread
+    algorithm (forward.hpp:111-132) is ~19 s/eval extrapolated — not
+    run at this size."""
+    from celerite2_tpu import get_config, set_config, terms
+    from celerite2_tpu.gp import gp_loglik
+
+    rng = np.random.default_rng(11)
+    t_np = np.sort(rng.uniform(0, 10_000.0, n))
+    y_np = np.sin(0.7 * t_np) + 0.25 * rng.normal(size=n)
+
+    def make_many(make_kernel):
+        def ll(theta, t, yerr, y):
+            return gp_loglik(make_kernel(theta), t, y, yerr=yerr)
+
+        def many(theta, t, yerr, y):
+            def body(carry, _):
+                v, g = jax.value_and_grad(ll)(carry, t, yerr, y)
+                return carry + 1e-9 * g, v
+
+            _, vs = jax.lax.scan(body, theta, None, length=chain_len)
+            return vs[-1]
+
+        return jax.jit(many)
+
+    def sho2(theta):  # J=2
+        return terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        )
+
+    def sho4(theta):  # J=4 mixture
+        return terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        ) + terms.SHOTerm(
+            sigma=jnp.exp(theta[3]), rho=jnp.exp(theta[4]), Q=0.3
+        )
+
+    dev = jax.devices()[0]
+    t_d = jnp.asarray(t_np)
+    yerr_d = jnp.full(n, 0.25, t_d.dtype)
+    y_d = jnp.asarray(y_np)
+
+    prior_cfg = get_config()
+    set_config(assoc_threshold=64)
+    metrics = {}
+    try:
+        for label, make_kernel, nparam in (
+            ("J2", sho2, 3),
+            ("J4", sho4, 5),
+        ):
+            theta = jnp.zeros(nparam, t_d.dtype)
+            fn = make_many(make_kernel)
+            args = (theta, t_d, yerr_d, y_d)
+            dt, val = _timer(fn, *args, reps=reps)
+            per_eval = dt / chain_len
+            entry = {
+                "loglik": float(val),
+                "ms_per_eval": per_eval * 1e3,
+                "evals_per_s": 1.0 / per_eval,
+            }
+            stats = getattr(dev, "memory_stats", lambda: None)()
+            if stats:
+                entry["peak_bytes_in_use"] = int(
+                    stats.get("peak_bytes_in_use", 0)
+                )
+            metrics[label] = entry
+    finally:
+        set_config(**prior_cfg.__dict__)
+
+    return dict(config="config5_N1e6_single_chip", metrics=metrics)
+
+
 CONFIGS = dict(
     config1=config1,
     config2=config2,
     config3=config3,
     config4=config4,
+    config5=config5,
     tutorial=tutorial,
 )
 

@@ -92,6 +92,16 @@ class Config:
     # real-TPU measurements (see planes_engine.planes_enabled);
     # "on"/"off" force (on CPU "on" uses pallas interpret mode)
     planes: Literal["auto", "on", "off"] = "auto"
+    # f64 ISLAND for stiff kernels: when "float64", gp_loglik (and the
+    # factorization inside gp_compute) upcast inputs + kernel params
+    # and run under jax.enable_x64 even in an f32 process (TPU), then
+    # downcast the outputs.  Fixes the catastrophic f32 cancellation of
+    # eps-regularized terms (Matern32Term: the d(ll)/d(eps) gradient
+    # comes out with the WRONG SIGN and ~30x magnitude in f32 —
+    # measured; the reference mandates f64 globally for the same
+    # reason, jax/ops.py:84).  TPU f64 is emulated (~5-10x slower), so
+    # this is per-model opt-in rather than global.
+    core_dtype: Literal["float64"] | None = None
 
 
 _config = Config()

@@ -198,3 +198,97 @@ def test_packed_kernels_large_gaps():
     )
     for r, o in zip(ref, out):
         np.testing.assert_allclose(o, r, rtol=1e-7, atol=1e-9)
+
+
+# ------------------------------------------------------ f64 island
+
+
+def _stiff_problem(N=2000, dtype=np.float32):
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, N)).astype(dtype)
+    yerr = np.full(N, 0.05, dtype)
+    y = (
+        np.sin(t.astype(np.float64) * 2.0) * 0.8
+        + 0.05 * rng.normal(size=N)
+    ).astype(dtype)
+    return t, yerr, y
+
+
+def _stiff_loglik(theta, t, y, yerr):
+    from celerite2_tpu.gp import gp_loglik
+
+    k = terms.Matern32Term(
+        sigma=theta[0], rho=theta[1], eps=theta[2]
+    ) + terms.SHOTerm(sigma=theta[3], rho=theta[4], tau=theta[5])
+    return gp_loglik(k, t, y, yerr=yerr)
+
+
+def test_f64_island_fixes_stiff_gradient():
+    """core_dtype="float64" recovers the forward-stable f64 scan-tier
+    gradient of a stiff Matern32+SHO model from f32 inputs (VERDICT r2
+    item 5).  Plain f32 corrupts d(ll)/d(eps) — wrong sign, ~30x
+    magnitude (measured) — which is what stalls NUTS adaptation."""
+    t, yerr, y = _stiff_problem()
+    th32 = jnp.asarray(
+        [0.8, 0.9, 0.01, 1.0, 9.0, 20.0], jnp.float32
+    )
+    args32 = (th32, jnp.asarray(t), jnp.asarray(y), jnp.asarray(yerr))
+
+    # ground truth: f64 inputs on the forward-stable scan tier
+    prior = get_config()
+    try:
+        set_config(backend="scan")
+        f64 = lambda x: jnp.asarray(np.asarray(x, np.float64))  # noqa: E731
+        v_ref, g_ref = jax.jit(jax.value_and_grad(_stiff_loglik))(
+            f64(th32), f64(t), f64(y), f64(yerr)
+        )
+    finally:
+        set_config(**prior.__dict__)
+
+    # the island from f32 inputs
+    try:
+        set_config(core_dtype="float64")
+        v_isl, g_isl = jax.jit(jax.value_and_grad(_stiff_loglik))(
+            *args32
+        )
+    finally:
+        set_config(**prior.__dict__)
+    assert v_isl.dtype == jnp.float32
+    assert g_isl.dtype == jnp.float32
+    np.testing.assert_allclose(
+        float(v_isl), float(v_ref), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_isl), np.asarray(g_ref), rtol=2e-4
+    )
+
+    # discriminating power: plain f32 must be visibly wrong on the
+    # eps gradient (else this test guards nothing)
+    v32, g32 = jax.jit(jax.value_and_grad(_stiff_loglik))(*args32)
+    assert not np.allclose(
+        np.asarray(g32)[2], np.asarray(g_ref)[2], rtol=0.3
+    )
+
+
+def test_f64_island_gp_compute_state():
+    """gp_compute under the island: the stiff factorization that goes
+    non-PD in plain f32 comes back positive-definite, downcast to the
+    input dtype."""
+    from celerite2_tpu.gp import gp_compute
+
+    t, yerr, y = _stiff_problem()
+    kernel = terms.Matern32Term(sigma=0.8, rho=0.9, eps=0.01)
+    prior = get_config()
+    try:
+        set_config(core_dtype="float64")
+        state = gp_compute(
+            kernel, jnp.asarray(t), yerr=jnp.asarray(yerr)
+        )
+    finally:
+        set_config(**prior.__dict__)
+    assert state.d.dtype == jnp.float32
+    assert bool(state.ok)
+    assert np.all(np.asarray(state.d) > 0)
+    # restoration: config untouched after the island ran
+    assert get_config().core_dtype == prior.core_dtype
+    assert get_config().backend == prior.backend

@@ -49,6 +49,7 @@ __all__ = [
     "OriginalCeleriteTerm",
     "GaussianProcess",
     "gp_loglik",
+    "pymc_support",
 ]
 
 
@@ -62,4 +63,8 @@ def __getattr__(name):
         from celerite2_tpu.gp import gp_loglik
 
         return gp_loglik
+    if name == "pymc_support":
+        from celerite2_tpu import pymc_support
+
+        return pymc_support
     raise AttributeError(f"module 'celerite2_tpu' has no attribute {name!r}")

@@ -15,10 +15,12 @@ Layout: element n lives at block b = n // L, step l = n % L; block b
 rides tile slot (t, s, lane) = (b // 1024, (b % 1024) // 128, b % 128).
 Grid (T, L) iterates l fastest; the scratch carry resets at l == 0.
 
-The first Pallas attempt (``ops/pallas_engine.py``, parked) lost
-because its in-kernel contraction used single-sublane row ops; the
-entry-planes layout is the sublane-gather-free formulation it called
-for.  Role of the reference's sequential hot loops
+The first Pallas attempt (``ops/pallas_engine.py``, deleted in round 3)
+lost because its in-kernel contraction used single-sublane row ops
+(measured v5e, N=1e5: ~320-510 us/pass vs ~255-275 us generic at
+D=2..4 — the D^2 map rows ran as (1, 128) ops, wasting 7/8 of the
+VPU); the entry-planes layout here is the sublane-gather-free
+formulation it called for.  Role of the reference's sequential hot loops
 (``c++/include/celerite2/internal.hpp:55-160``) at TPU register speed.
 """
 

@@ -129,3 +129,21 @@ print("component mean range: ", float(mu2.min()), float(mu2.max()))
 
 keys, bibtex = gp.citations
 print("cite:", ", ".join(keys))
+
+# ------------------------- 6. external PPLs (optional dependencies)
+# numpyro: gp.numpyro_dist() returns a CeleriteNormal usable as an
+# observed site (reference jax/distribution.py role).
+# PyMC: one black-box likelihood Op wraps the jitted JAX density —
+# kernels stay in THIS package's term DSL; with pymc.sampling.jax the
+# whole model compiles to a single XLA program (runs on TPU):
+#
+#   from celerite2_tpu.pymc_support import celerite_loglik_op
+#   op = celerite_loglik_op(
+#       lambda s, r, tau: terms.SHOTerm(sigma=s, rho=r, tau=tau),
+#       t, y, yerr=yerr)
+#   with pm.Model():
+#       s = pm.HalfNormal("sigma", 1.0)
+#       r = pm.HalfNormal("rho", 5.0)
+#       tau = pm.HalfNormal("tau", 5.0)
+#       pm.Potential("gp", op(s, r, tau))
+#       idata = pm.sample()   # or pymc.sampling.jax.sample_numpyro_nuts

@@ -54,7 +54,7 @@ class _CeleriteNormalCore:
                     dtype=self.gp.state.t.dtype,
                 ),
             )
-        )(jax.random.split(key, max(1, n)))
+        )(jax.random.split(key, n))
         samp = samp + self.gp.state.mean_value
         return samp.reshape(tuple(sample_shape) + tuple(self.event_shape))
 

@@ -97,7 +97,16 @@ def drive_chunks(
                 ),
                 sched_meta=sched_meta,
             )
-            restored = checkpoint.restore(latest, template=template)
+            try:
+                restored = checkpoint.restore(latest, template=template)
+            except Exception:
+                # a checkpoint written before sched_meta existed has a
+                # different tree structure and StandardRestore rejects
+                # the template outright — retry without the key (the
+                # latest-step bound check above still guards the
+                # common schedule mismatch)
+                template.pop("sched_meta")
+                restored = checkpoint.restore(latest, template=template)
             saved_meta = np.asarray(restored.get("sched_meta", sched_meta))
             if not np.array_equal(saved_meta, sched_meta):
                 raise ValueError(

@@ -354,6 +354,18 @@ def _sharded_loglik_bwd(axis_name, res, bll):
     # (the per-shard share) — the outer pcast's transpose performs the
     # one true psum.  A psum here would double-count it n_dev times.
     bc = jnp.sum(bp * (-dts)[:, None], axis=0)
+    # under shard_map(check_vma=False) there is no vma tracking: the
+    # outer pcast (whose transpose psums the replicated primals'
+    # cotangents) never fires AND shard_map's own output-cotangent
+    # scaling changes (measured: components come out divided by n_dev)
+    # — gradients would be silently wrong.  Fail loudly instead.
+    if not _vma(U):
+        raise NotImplementedError(
+            "gradients of sharded_loglik require shard_map with "
+            "check_vma=True (the default): with vma tracking disabled "
+            "the adjoint's cross-shard cotangent reductions cannot be "
+            "placed and the result would be silently wrong"
+        )
     ft = bp @ c
     # bt[r] = ft[r+1] - ft[r]; the r+1 of the shard's last row lives on
     # the right neighbour (zero past the global end)

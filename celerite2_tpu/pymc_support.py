@@ -30,6 +30,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -96,15 +97,18 @@ def make_gp_loglik_fn(make_kernel, t, y, *, yerr=None, diag=None, mean=0.0):
     """Close :func:`~celerite2_tpu.gp.gp_loglik` over fixed data:
     returns ``fn(*params) -> scalar`` with the kernel built by
     ``make_kernel(*params)`` (this package's term DSL; branchless, so
-    any parameter may be sampled)."""
-    import jax.numpy as jnp
+    any parameter may be sampled).
 
+    Data is captured as NUMPY so the jitted closures embed it as HLO
+    literals — closing over device arrays costs ~40 ms/call of
+    constant re-upload on the axon TPU runtime (CLAUDE.md rule).
+    """
     from celerite2_tpu.gp import gp_loglik
 
-    t = jnp.asarray(t)
-    y = jnp.asarray(y)
-    yerr = None if yerr is None else jnp.asarray(yerr)
-    diag = None if diag is None else jnp.asarray(diag)
+    t = np.asarray(t)
+    y = np.asarray(y)
+    yerr = None if yerr is None else np.asarray(yerr)
+    diag = None if diag is None else np.asarray(diag)
 
     def fn(*params):
         params = tuple(jnp.asarray(p) for p in params)
@@ -123,9 +127,11 @@ try:  # pragma: no cover - pytensor is optional and absent in this image
 
     HAS_PYTENSOR = True
 
+    # NOTE: no __props__ on either Op: props-based equality would make
+    # ops wrapping DIFFERENT cores/data compare equal and let
+    # pytensor's merge rewrite collapse distinct likelihoods; the
+    # default identity equality is the correct semantics here.
     class _CeleriteLoglikGradOp(pt_op.Op):
-        __props__ = ()
-
         def __init__(self, core):
             self.core = core
             super().__init__()
@@ -145,8 +151,6 @@ try:  # pragma: no cover - pytensor is optional and absent in this image
         """Scalar GP log-likelihood as a pytensor Op (role of the whole
         reference ``pymc/ops.py`` op family, collapsed to one node)."""
 
-        __props__ = ()
-
         def __init__(self, core):
             self.core = core
             self._grad_op = _CeleriteLoglikGradOp(core)
@@ -164,7 +168,11 @@ try:  # pragma: no cover - pytensor is optional and absent in this image
             perform_value(self.core, inputs, output_storage)
 
         def grad(self, inputs, output_grads):
-            return list(self._grad_op(output_grads[0], *inputs))
+            # return_list: with ONE parameter __call__ would hand back
+            # a bare Variable, and list() would symbolically iterate it
+            return self._grad_op(
+                output_grads[0], *inputs, return_list=True
+            )
 
     @jax_funcify.register(CeleriteLoglikOp)
     def _jax_funcify_loglik(op, **kwargs):
@@ -173,8 +181,15 @@ try:  # pragma: no cover - pytensor is optional and absent in this image
         return op.core.fn
 
     @jax_funcify.register(_CeleriteLoglikGradOp)
-    def _jax_funcify_loglik_grad(op, **kwargs):
-        return partial(LoglikCore._vjp_impl, op.core.fn)
+    def _jax_funcify_loglik_grad(op, node=None, **kwargs):
+        vjp = partial(LoglikCore._vjp_impl, op.core.fn)
+        if node is not None and len(node.outputs) == 1:
+            # single-output nodes must return the array, not a 1-tuple
+            def vjp_single(ct, *params):
+                return vjp(ct, *params)[0]
+
+            return vjp_single
+        return vjp
 
 except ImportError:  # pytensor/pymc not installed
 

@@ -77,6 +77,46 @@ def test_sharded_loglik_grad(mesh_seq):
     np.testing.assert_allclose(g_sharded, g_ref, rtol=1e-7, atol=1e-9)
 
 
+def test_sharded_loglik_grad_check_vma_false_raises(mesh_seq):
+    """shard_map(check_vma=False) disables vma tracking; the adjoint's
+    cotangent reductions then cannot be placed (measured: components
+    come out scaled by 1/n_dev) — the bwd must fail loudly rather than
+    return silently wrong gradients (round-3 review regression).  The
+    forward VALUE must still work."""
+    from celerite2_tpu.parallel import sharded
+
+    t, yerr, y = _data(128)
+
+    def builder(theta):
+        return terms.SHOTerm(sigma=theta[0], rho=theta[1], tau=theta[2])
+
+    mesh = mesh_seq
+    tn, yn, en = map(np.asarray, (t, y, yerr))
+
+    def logd(theta):
+        kernel = builder(theta)
+        c, a, U, V = kernel.get_celerite_matrices(tn, en**2)
+        fn = jax.shard_map(
+            lambda tt, aa, UU, VV, rr, cc: sharded.sharded_loglik(
+                tt, cc, aa, UU, VV, rr, axis_name="seq"
+            ),
+            mesh=mesh,
+            in_specs=(P("seq"),) * 5 + (P(),),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return fn(tn, a, U, V, yn, c)
+
+    theta = jnp.asarray([1.2, 4.0, 3.0])
+    val = jax.jit(logd)(theta)
+    state = gp_compute(builder(theta), t, yerr=yerr)
+    np.testing.assert_allclose(
+        float(val), float(gp_log_likelihood(state, y)), rtol=1e-9
+    )
+    with pytest.raises(NotImplementedError, match="check_vma"):
+        jax.grad(logd)(theta)
+
+
 def test_sharded_nonpd_minus_inf(mesh_seq):
     t, yerr, y = _data(128)
 

@@ -15,6 +15,16 @@ Layout: element n lives at block b = n // L, step l = n % L; block b
 rides tile slot (t, s, lane) = (b // 1024, (b % 1024) // 128, b % 128).
 Grid (T, L) iterates l fastest; the scratch carry resets at l == 0.
 
+BATCHING (vmap over chains): blocks are independent at level 0, so a
+batch axis simply means MORE blocks — chain c's block b rides global
+block index c * NB + b on the same lane/tile axis, and the level-1
+recursion + distribute run per-chain on (C, NB) planes (elementwise,
+so they batch for free).  Exposed through ``jax.custom_batching
+.custom_vmap`` so ``vmap(gp_loglik)`` folds chains into the kernel's
+lane axis instead of relying on pallas auto-batching around the
+sequential scratch carry.  (Only ONE vmap level is intercepted;
+doubly-vmapped calls fall back to pallas auto-batching — untested.)
+
 The first Pallas attempt (``ops/pallas_engine.py``, deleted in round 3)
 lost because its in-kernel contraction used single-sublane row ops
 (measured v5e, N=1e5: ~320-510 us/pass vs ~255-275 us generic at
@@ -27,11 +37,9 @@ formulation it called for.  Role of the reference's sequential hot loops
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,18 +57,16 @@ _SUBS = 8
 
 
 def planes_enabled(vmapped: bool) -> bool:
-    """Planes engine routing: 'on' forces it (interpret mode off-TPU);
-    'auto' is currently OFF everywhere — the kernel is parity-verified
-    in interpret mode but not yet measured on real TPU hardware (the
-    axon tunnel was down when it landed); flip 'auto' to TPU+unbatched
-    once hardware numbers exist.  Batched traces always use the
-    generic engine (pallas batching would prepend a parallel grid dim
-    around the sequential scratch carry — unproven)."""
+    """Planes engine routing: 'on' forces it for both unbatched and
+    vmapped traces (interpret mode off-TPU; vmap handled by the
+    custom_vmap batch-folding rule); 'auto' is currently OFF
+    everywhere — the kernel is parity-verified in interpret mode but
+    not yet measured on real TPU hardware (the axon tunnel was down
+    when it landed); flip 'auto' to TPU once hardware numbers exist."""
     from celerite2_tpu.config import get_config
 
     mode = getattr(get_config(), "planes", "auto")
-    if mode == "off" or vmapped:
-        return False
+    del vmapped  # both paths supported; routing is mode-only
     return mode == "on"
 
 
@@ -93,30 +99,34 @@ def _kernel(el_ref, out_ref, acc_ref, *, treedef, combine, E):
         out_ref[0, 0, e] = acc_ref[e]
 
 
-def _pad_with(x, n, value):
+def _pad_last(x, n, value):
     if n == 0:
         return x
-    fill = jnp.full((n,), value, x.dtype)
-    return jnp.concatenate([x, fill])
+    fill = jnp.full(x.shape[:-1] + (n,), value, x.dtype)
+    return jnp.concatenate([x, fill], axis=-1)
 
 
 def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
-    """In-block inclusive prefixes of (N,) planes via one pallas call.
+    """In-block inclusive prefixes of (B, N) planes via one pallas call.
 
-    Returns (within-block prefixes as (NBL,) planes trimmed to NB*L,
-    block maps as (NB,) planes)."""
+    Chain c's block b rides global block index c * NB + b on the
+    lane/tile axis (all level-0 blocks are independent).  Returns
+    (within-block prefixes as (B, NB*L) planes, block maps as (B, NB)
+    planes)."""
     E = len(flat)
+    B = flat[0].shape[0]
     dtype = flat[0].dtype
-    T = -(-NB // (_SUBS * _LANES))
-    s = _SUBS if T > 1 else -(-NB // _LANES)
+    GB = B * NB  # global block count
+    T = -(-GB // (_SUBS * _LANES))
+    s = _SUBS if T > 1 else -(-GB // _LANES)
     TOT = T * s * _LANES
 
     slabs = []
     for x, iv in zip(flat, idents):
-        x = _pad_with(x, NB * L - x.shape[0], iv)
-        x = x.reshape(NB, L).T  # (L, NB)
+        x = _pad_last(x, NB * L - x.shape[-1], iv)
+        x = x.reshape(GB, L).T  # (L, GB)
         x = jnp.concatenate(
-            [x, jnp.full((L, TOT - NB), iv, dtype)], axis=1
+            [x, jnp.full((L, TOT - GB), iv, dtype)], axis=1
         )
         slabs.append(x.reshape(L, T, s, _LANES))
     slab = jnp.stack(slabs, axis=2)  # (L, T, E, s, 128)
@@ -148,15 +158,16 @@ def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
     maps = []
     for e in range(E):
         x = out[:, :, e]  # (T, L, s, 128)
-        xm = x[:, L - 1].reshape(TOT)[:NB]
-        maps.append(xm)
+        xm = x[:, L - 1].reshape(TOT)[:GB]
+        maps.append(xm.reshape(B, NB))
         x = jnp.transpose(x, (1, 0, 2, 3)).reshape(L, TOT)
-        prefixes.append(x.T.reshape(TOT * L))
-    return prefixes, maps, TOT
+        prefixes.append(x.T[:GB].reshape(B, NB * L))
+    return prefixes, maps
 
 
 def _leaf_scan(flat, idents, treedef, combine):
-    """Hillis–Steele doubling prefix for the recursion bottom.
+    """Hillis–Steele doubling prefix for the recursion bottom, along
+    the last axis of (B, N) planes.
 
     log2(N) levels, each ONE full-width elementwise combine over the
     plane arrays (shift-in identity, combine with self).  Work is
@@ -165,11 +176,14 @@ def _leaf_scan(flat, idents, treedef, combine):
     instead of N x combine, which is what keeps XLA compile time sane
     for fat combines (an unrolled J=4 Riccati leaf is a ~40k-op module
     that takes XLA:CPU tens of minutes)."""
-    N = flat[0].shape[0]
+    N = flat[0].shape[-1]
     k = 1
     while k < N:
         shifted = tuple(
-            jnp.concatenate([jnp.full((k,), iv, x.dtype), x[:-k]])
+            jnp.concatenate(
+                [jnp.full(x.shape[:-1] + (k,), iv, x.dtype), x[..., :-k]],
+                axis=-1,
+            )
             for x, iv in zip(flat, idents)
         )
         new = combine(
@@ -182,28 +196,31 @@ def _leaf_scan(flat, idents, treedef, combine):
 
 
 def _two_level(flat, idents, treedef, combine, distribute):
-    N = flat[0].shape[0]
+    """Two-level prefixes of (B, N) planes (B = folded batch)."""
+    B, N = flat[0].shape
     if N <= _LEAF:
         return _leaf_scan(flat, idents, treedef, combine)
 
-    # one-tile level-0: L chosen so all blocks fit a single (8, 128)
-    # tile set; grid steps = T * L ~= N / 1024 regardless of the split
-    L = max(8, -(-N // (_SUBS * _LANES)))
+    # one-tile level-0: L chosen so all (global) blocks fit a single
+    # (8, 128) tile set; sequential grid steps = T * L ~= B*N / 1024
+    L = max(8, min(N, -(-(B * N) // (_SUBS * _LANES))))
     NB = -(-N // L)
 
-    prefixes, maps, TOT = _block_prefix_kernel(
+    prefixes, maps = _block_prefix_kernel(
         flat, idents, treedef, combine, L, NB
     )
 
     incl = _two_level(maps, idents, treedef, combine, combine)
-    # exclusive block prefixes: shift right, identity first
+    # exclusive block prefixes: shift right along blocks, identity first
     excl = [
-        jnp.concatenate([jnp.full((1,), iv, x.dtype), x[:-1]])
+        jnp.concatenate(
+            [jnp.full((B, 1), iv, x.dtype), x[:, :-1]], axis=-1
+        )
         for x, iv in zip(incl, idents)
     ]
     # distribute: row n gets combine(excl[block(n)], prefix_n)
-    excl_rows = [jnp.repeat(x, L)[:N] for x in excl]
-    pref_rows = [x[:N] for x in prefixes]
+    excl_rows = [jnp.repeat(x, L, axis=-1)[:, :N] for x in excl]
+    pref_rows = [x[:, :N] for x in prefixes]
     full = distribute(
         jax.tree_util.tree_unflatten(treedef, tuple(excl_rows)),
         jax.tree_util.tree_unflatten(treedef, tuple(pref_rows)),
@@ -211,21 +228,49 @@ def _two_level(flat, idents, treedef, combine, distribute):
     return list(jax.tree_util.tree_leaves(full))
 
 
+def _make_core(idents, treedef, combine, distribute):
+    """custom_vmap boundary: the logical computation is over (N,)
+    planes; a vmap folds its batch axis into the kernel's block/lane
+    axis via the rule (chains are just more independent blocks)."""
+
+    @jax.custom_batching.custom_vmap
+    def core(*flat):
+        out = _two_level(
+            [x[None] for x in flat], idents, treedef, combine, distribute
+        )
+        return tuple(x[0] for x in out)
+
+    @core.def_vmap
+    def _core_vmap(axis_size, in_batched, *flat):
+        flat = [
+            x
+            if b
+            else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, b in zip(flat, in_batched)
+        ]
+        out = _two_level(list(flat), idents, treedef, combine, distribute)
+        return tuple(out), tuple(True for _ in out)
+
+    return core
+
+
 def prefix_planes(spec, elems, *, reverse=False):
     """Inclusive prefix composition of array-laid-out ``elems`` through
     the planes engine.  Drop-in twin of ``two_level_prefix`` for
     element families with a :class:`~celerite2_tpu.ops.planes.PlanesSpec`;
     the distribute phase uses ``spec.distribute`` (same validity
-    contract as ``two_level_prefix``'s ``distribute_combine``)."""
+    contract as ``two_level_prefix``'s ``distribute_combine``).
+    vmap-compatible (one level): the batch axis folds into the kernel's
+    block/lane axis."""
     planes = spec.to_planes(elems)
     flat, treedef = jax.tree_util.tree_flatten(planes)
     flat = [jnp.asarray(x) for x in flat]
     if reverse:
         flat = [x[::-1] for x in flat]
-    out = _two_level(
-        flat, spec.identity_scalars, treedef, spec.combine,
-        spec.distribute,
+    core = _make_core(
+        spec.identity_scalars, treedef, spec.combine, spec.distribute
     )
+    out = list(core(*flat))
     if reverse:
         out = [x[::-1] for x in out]
     return spec.from_planes(

@@ -154,3 +154,65 @@ def test_planes_vs_scan_oracle(planes_on):
     np.testing.assert_allclose(
         np.asarray(W1), np.asarray(W2), rtol=1e-8, atol=1e-11
     )
+
+
+def test_vmapped_factor_parity(planes_on):
+    """vmap folds the chain axis into the kernel's block/lane axis
+    (custom_vmap rule); parity vs the vmapped generic engine."""
+    rng = np.random.default_rng(7)
+    N, C = 70, 3
+    t = np.sort(rng.uniform(0, 10, N))
+    thetas = jnp.asarray(rng.uniform(0.8, 3.0, size=(C, 3)))
+
+    def factor(theta):
+        kernel = terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+        c, a, U, V = kernel.get_celerite_matrices(
+            jnp.asarray(t), jnp.full(N, 0.04)
+        )
+        d, W, _ = assoc.factor_assoc(jnp.asarray(t), c, a, U, V)
+        return d, W
+
+    set_config(planes="off")
+    d0, W0 = jax.vmap(factor)(thetas)
+    set_config(planes="on")
+    d1, W1 = jax.vmap(factor)(thetas)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W0), rtol=1e-8, atol=1e-11
+    )
+
+
+def test_vmapped_loglik_grad_parity(planes_on):
+    """Fleet path end-to-end: vmap(value_and_grad(loglik)) through the
+    planes engine matches the generic engine chain-for-chain."""
+    from celerite2_tpu.gp import gp_loglik
+
+    rng = np.random.default_rng(11)
+    N, C = 90, 2
+    t = np.sort(rng.uniform(0, 10, N))
+    y = rng.normal(size=N)
+    yerr = np.full(N, 0.2)
+
+    def ll(theta):
+        kernel = terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+        return gp_loglik(
+            kernel, jnp.asarray(t), jnp.asarray(y), yerr=jnp.asarray(yerr)
+        )
+
+    thetas = jnp.asarray([[1.2, 3.1, 2.4], [0.9, 2.2, 4.0]])
+    set_config(planes="off", backend="assoc")
+    v0, g0 = jax.vmap(jax.value_and_grad(ll))(thetas)
+    set_config(planes="on", backend="assoc")
+    v1, g1 = jax.vmap(jax.value_and_grad(ll))(thetas)
+    np.testing.assert_allclose(
+        np.asarray(v1), np.asarray(v0), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g0), rtol=1e-8, atol=1e-11
+    )

@@ -91,10 +91,89 @@ def main(N=100_000, J=2, chain=100):
     )
 
 
+def main_fleet(N=30_000, C=32, chain=20):
+    """Vmapped-fleet A/B: C chains of value_and_grad(gp_loglik) through
+    vmap (planes: chains fold into the kernel lane axis via the
+    custom_vmap rule; generic: vmapped two-level engine)."""
+    from celerite2_tpu import get_config, set_config, terms
+    from celerite2_tpu.gp import gp_loglik
+
+    rng = np.random.default_rng(42)
+    t = jnp.asarray(np.sort(rng.uniform(0, 1000, N)), jnp.float32)
+    yerr = jnp.full(N, 0.25, t.dtype)
+    y = jnp.asarray(
+        np.sin(0.7 * np.asarray(t)) + 0.25 * rng.normal(size=N), t.dtype
+    )
+    thetas = jnp.log(
+        jnp.asarray(
+            rng.uniform(0.8, 4.0, size=(C, 3)), t.dtype
+        )
+    )
+
+    def ll(theta, t, yerr, y):
+        set_config(backend="assoc")
+        k = terms.SHOTerm(
+            sigma=jnp.exp(theta[0]),
+            rho=jnp.exp(theta[1]),
+            tau=jnp.exp(theta[2]),
+        )
+        return gp_loglik(k, t, y, yerr=yerr)
+
+    def many(thetas, t, yerr, y):
+        def body(carry, _):
+            v, g = jax.vmap(
+                jax.value_and_grad(lambda th: ll(th, t, yerr, y))
+            )(carry)
+            return carry + 1e-9 * g, v
+
+        _, vs = jax.lax.scan(body, thetas, None, length=chain)
+        return vs[-1]
+
+    args = (thetas, t, yerr, y)
+    prior = get_config()
+    out = {}
+    for mode in ("off", "on"):
+        set_config(planes=mode, backend="assoc")
+        try:
+            fn = jax.jit(many)
+            t0 = time.time()
+            v = jax.block_until_ready(fn(*args))
+            print(
+                f"fleet planes={mode}: compile+first {time.time() - t0:.0f}s",
+                flush=True,
+            )
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v = jax.block_until_ready(fn(*args))
+                best = min(best, time.perf_counter() - t0)
+            out[mode] = (best / chain, float(np.sum(np.asarray(v))))
+            print(
+                f"fleet planes={mode}: {best / chain * 1e3:.3f} ms/fleet-eval"
+                f"  (C={C})  sum_ll={out[mode][1]:.4f}",
+                flush=True,
+            )
+        finally:
+            set_config(**prior.__dict__)
+    rel = abs(out["on"][1] - out["off"][1]) / max(1.0, abs(out["off"][1]))
+    print(
+        f"fleet agreement rel={rel:.2e}"
+        f"  speedup={out['off'][0] / out['on'][0]:.2f}x",
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(
-        int(float(a[0])) if len(a) > 0 else 100_000,
-        int(a[1]) if len(a) > 1 else 2,
-        int(a[2]) if len(a) > 2 else 100,
-    )
+    if a and a[0] == "fleet":
+        main_fleet(
+            int(float(a[1])) if len(a) > 1 else 30_000,
+            int(a[2]) if len(a) > 2 else 32,
+            int(a[3]) if len(a) > 3 else 20,
+        )
+    else:
+        main(
+            int(float(a[0])) if len(a) > 0 else 100_000,
+            int(a[1]) if len(a) > 1 else 2,
+            int(a[2]) if len(a) > 2 else 100,
+        )

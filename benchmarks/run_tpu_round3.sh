@@ -24,6 +24,10 @@ echo "== 1b/3 planes probe J=4 =="
 timeout 2400 python -u benchmarks/probe_planes_tpu.py 100000 4 100 \
   2>&1 | tee "$LOG/planes_J4.log"
 
+echo "== 1c/3 planes fleet probe (vmapped, N=3e4, C=32) =="
+timeout 2400 python -u benchmarks/probe_planes_tpu.py fleet 30000 32 20 \
+  2>&1 | tee "$LOG/planes_fleet.log"
+
 echo "== 2/3 config5 N=1e6 =="
 timeout 3600 python -u benchmarks/configs.py config5 \
   2>&1 | tee "$LOG/config5.log"

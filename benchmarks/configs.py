@@ -241,23 +241,23 @@ def config4():
     decomposition unidentifiable (label-switching-like multimodality)
     and no sampler agreement can be expected.
 
-    In an f32 process this config enables the f64 ISLAND
-    (set_config(core_dtype="float64")): Matern32Term's eps-regularized
-    complex pair carries a ~1/eps amplitude whose plain-f32
-    cancellation flips gradient signs and stalls NUTS adaptation
-    (measured; the reference mandates f64 globally for the same
-    reason, jax/ops.py:84).  x64 reference agreement: NUTS/VI/SMC
-    posterior means within ~0.05 on all five parameters."""
-    from celerite2_tpu.config import get_config, set_config
-
-    prior_cfg = get_config()
+    In an f32 process this config runs inside a SCOPED jax.enable_x64
+    context: Matern32Term's eps-regularized complex pair carries a
+    ~1/eps amplitude whose plain-f32 cancellation flips gradient signs
+    and stalls NUTS adaptation (measured; the reference mandates f64
+    globally for the same reason, jax/ops.py:84).  The per-op f64
+    island (config.core_dtype) covers jit/grad/vmap-of-grad consumers
+    but NOT the samplers' vmapped while-loops (jaxpr-level batching
+    re-binds f64 ops under the process's x64-off config and truncates
+    them) — whole-sampler scoping is the supported pattern for full
+    inference runs (docs/api.md).  x64 reference agreement: NUTS/VI/
+    SMC posterior means within ~0.05 on all five parameters."""
     if not jax.config.jax_enable_x64:
-        # f32 process (TPU): run the stiff GP core in the f64 island
-        set_config(core_dtype="float64")
-    try:
-        return _config4_body()
-    finally:
-        set_config(**prior_cfg.__dict__)
+        # f32 process (TPU): run the whole stiff config in a scoped
+        # x64 region (data is built as numpy f64; jnp keeps it f64)
+        with jax.enable_x64(True):
+            return _config4_body()
+    return _config4_body()
 
 
 def _config4_body():

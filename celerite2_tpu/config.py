@@ -101,6 +101,16 @@ class Config:
     # measured; the reference mandates f64 globally for the same
     # reason, jax/ops.py:84).  TPU f64 is emulated (~5-10x slower), so
     # this is per-model opt-in rather than global.
+    #
+    # COMPOSITION CONTRACT: the island works under jit, grad, and
+    # vmap(grad) — MAP fits, VI gradient steps, user loops.  It does
+    # NOT survive vmapped lax control flow AROUND the island (e.g. the
+    # NUTS/HMC samplers' per-chain while-loops): jaxpr-level batching
+    # re-binds the island's f64 ops under the process's x64-off config
+    # and silently truncates them (then fails with a dtype error).
+    # For full sampler runs on stiff models, scope the WHOLE call
+    # instead:  with jax.enable_x64(True): run_nuts(...)  (see
+    # benchmarks/configs.py config4).
     core_dtype: Literal["float64"] | None = None
 
 

@@ -292,3 +292,70 @@ def test_f64_island_gp_compute_state():
     # restoration: config untouched after the island ran
     assert get_config().core_dtype == prior.core_dtype
     assert get_config().backend == prior.backend
+
+
+def test_f64_island_vmap_grad():
+    """Island composition contract: vmap(value_and_grad) works (the
+    custom_vjp fwd/bwd re-enter the x64 scope on retrace).  Run inside
+    an x64-OFF scope to mimic an f32 TPU process."""
+    with jax.enable_x64(False):
+        t, yerr, y = _stiff_problem(N=800)
+        args = (jnp.asarray(t), jnp.asarray(y), jnp.asarray(yerr))
+        thetas = jnp.asarray(
+            [[0.8, 0.9, 0.01, 1.0, 9.0, 20.0],
+             [0.7, 1.1, 0.02, 0.9, 8.0, 15.0]],
+            jnp.float32,
+        )
+        prior = get_config()
+        try:
+            set_config(core_dtype="float64")
+            vg = jax.vmap(
+                jax.value_and_grad(lambda th: _stiff_loglik(th, *args))
+            )
+            vs, gs = jax.jit(vg)(thetas)
+            v0, g0 = jax.jit(
+                jax.value_and_grad(lambda th: _stiff_loglik(th, *args))
+            )(thetas[0])
+        finally:
+            set_config(**prior.__dict__)
+        assert vs.dtype == jnp.float32
+        np.testing.assert_allclose(float(vs[0]), float(v0), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gs[0]), np.asarray(g0), rtol=1e-5
+        )
+
+
+@pytest.mark.slow
+def test_stiff_sampler_x64_scope():
+    """The supported pattern for FULL sampler runs on stiff models in
+    an f32 process: scope the whole call in jax.enable_x64(True)
+    (the per-op island cannot survive the samplers' vmapped
+    while-loops; see config.core_dtype docs)."""
+    from celerite2_tpu.inference import run_nuts
+
+    with jax.enable_x64(False):
+        t, yerr, y = _stiff_problem(N=150)
+
+        def logpost(th):
+            from celerite2_tpu.gp import gp_loglik
+
+            k = terms.Matern32Term(sigma=th[0], rho=th[1], eps=th[2])
+            return gp_loglik(
+                k,
+                jnp.asarray(t, jnp.float64),
+                jnp.asarray(y, jnp.float64),
+                yerr=jnp.asarray(yerr, jnp.float64),
+            ) - 0.5 * jnp.sum(th**2)
+
+        with jax.enable_x64(True):
+            res = run_nuts(
+                logpost,
+                jnp.asarray([0.8, 0.9, 0.05], jnp.float64),
+                jax.random.PRNGKey(0),
+                num_warmup=10,
+                num_samples=10,
+                num_chains=1,
+            )
+            samples = np.asarray(res.samples)
+        assert samples.shape == (1, 10, 3)
+        assert np.isfinite(samples).all()

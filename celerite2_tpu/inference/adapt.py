@@ -1,8 +1,15 @@
-"""Warmup adaptation: dual-averaging step size + Welford diagonal mass.
+"""Warmup adaptation: dual-averaging step size + Welford mass matrix
+(diagonal or dense), plus the mass-metric helpers shared by the
+samplers.
 
 Stan-style windowed schedule: an initial fast window (step size only),
 doubling slow windows (mass matrix), and a final fast window.  All pure
 functions over NamedTuple states, vmappable across chains.
+
+The dense-metric linear algebra (Cholesky, triangular solve) is
+Python-unrolled over the (small, static) parameter dimension instead
+of calling ``jnp.linalg`` — LAPACK-backed custom calls don't exist for
+f64 on TPU, and dim is <= a few dozen hyperparameters here.
 """
 
 from __future__ import annotations
@@ -20,6 +27,10 @@ __all__ = [
     "welford_update",
     "welford_variance",
     "build_schedule",
+    "mass_matvec",
+    "mass_kinetic",
+    "mass_momentum",
+    "chol_small",
 ]
 
 
@@ -73,10 +84,13 @@ class WelfordState(NamedTuple):
     count: jnp.ndarray
 
 
-def welford_init(dim, dtype=jnp.float64):
+def welford_init(dim, dtype=jnp.float64, *, dense=False):
+    """``dense=True`` accumulates the full (dim, dim) second-moment
+    matrix for a dense mass metric."""
+    m2_shape = (dim, dim) if dense else (dim,)
     return WelfordState(
         mean=jnp.zeros((dim,), dtype),
-        m2=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros(m2_shape, dtype),
         count=jnp.zeros((), dtype),
     )
 
@@ -85,17 +99,101 @@ def welford_update(state: WelfordState, x):
     count = state.count + 1
     delta = x - state.mean
     mean = state.mean + delta / count
-    m2 = state.m2 + delta * (x - mean)
+    if state.m2.ndim == 2:
+        m2 = state.m2 + jnp.outer(delta, x - mean)
+    else:
+        m2 = state.m2 + delta * (x - mean)
     return WelfordState(mean=mean, m2=m2, count=count)
 
 
 def welford_variance(state: WelfordState, *, regularize=True):
+    """Sample variance (diag) or covariance (dense), with Stan's
+    shrinkage towards unit scale for short windows."""
     var = state.m2 / jnp.maximum(state.count - 1, 1)
     if regularize:
-        # Stan's shrinkage towards unit scale for short windows
         n = state.count
-        var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+        unit = (
+            jnp.eye(var.shape[0], dtype=var.dtype)
+            if var.ndim == 2
+            else 1.0
+        )
+        var = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0)) * unit
     return var
+
+
+# ------------------------------------------------- mass-metric helpers
+#
+# ``inv_mass`` is the estimated posterior (co)variance: (dim,) for a
+# diagonal metric, (dim, dim) for a dense one.  Momenta are drawn from
+# N(0, inv_mass^{-1}).
+
+
+def chol_small(A):
+    """Lower Cholesky of a small SPD matrix, Python-unrolled over the
+    static dimension (works in any dtype on TPU — no LAPACK call)."""
+    dim = A.shape[0]
+    rows = [[None] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i + 1):
+            s = A[i, j]
+            for k in range(j):
+                s = s - rows[i][k] * rows[j][k]
+            if i == j:
+                rows[i][j] = jnp.sqrt(s)
+            else:
+                rows[i][j] = s / rows[j][j]
+    out = jnp.zeros_like(A)
+    for i in range(dim):
+        for j in range(i + 1):
+            out = out.at[i, j].set(rows[i][j])
+    return out
+
+
+def _tri_solve_upper(LT_rows, z):
+    """Solve L^T x = z given the rows of L (list-of-lists from the
+    unrolled Cholesky context); backward substitution, unrolled."""
+    dim = z.shape[0]
+    x = [None] * dim
+    for i in range(dim - 1, -1, -1):
+        s = z[i]
+        for k in range(i + 1, dim):
+            # (L^T)[i, k] = L[k, i]
+            s = s - LT_rows[k][i] * x[k]
+        x[i] = s / LT_rows[i][i]
+    return jnp.stack(x)
+
+
+def mass_matvec(inv_mass, p):
+    """inv_mass @ p for either metric shape."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ p
+    return inv_mass * p
+
+
+def mass_kinetic(inv_mass, p):
+    """0.5 * p^T inv_mass p."""
+    if inv_mass.ndim == 2:
+        return 0.5 * jnp.dot(p, inv_mass @ p)
+    return 0.5 * jnp.sum(inv_mass * p**2)
+
+
+def mass_momentum(key, inv_mass, dtype):
+    """Draw p ~ N(0, inv_mass^{-1}).
+
+    Dense: with inv_mass = Sigma = L L^T, the momentum covariance is
+    Sigma^{-1} = L^{-T} L^{-1}, so p = L^{-T} z for z ~ N(0, I).
+    """
+    import jax
+
+    dim = inv_mass.shape[0]
+    z = jax.random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 2:
+        L = chol_small(inv_mass)
+        rows = [
+            [L[i, j] for j in range(dim)] for i in range(dim)
+        ]
+        return _tri_solve_upper(rows, z)
+    return z / jnp.sqrt(inv_mass)
 
 
 def build_schedule(num_warmup, *, init_frac=0.15, final_frac=0.1):

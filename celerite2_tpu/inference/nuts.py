@@ -31,6 +31,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from celerite2_tpu.inference.adapt import (
+    mass_kinetic,
+    mass_matvec,
+    mass_momentum,
+)
+
 __all__ = ["NUTSInfo", "nuts_kernel", "build_nuts_step"]
 
 
@@ -46,7 +52,7 @@ def _leapfrog(grad_fn, q, p, g, eps, inv_mass, direction):
     """One leapfrog step; ``g`` is grad of potential at q."""
     e = eps * direction
     p = p - 0.5 * e * g
-    q = q + e * inv_mass * p
+    q = q + e * mass_matvec(inv_mass, p)
     g_new = grad_fn(q)
     p = p - 0.5 * e * g_new
     return q, p, g_new
@@ -62,8 +68,8 @@ def _ctz(x):
 def _is_uturn(q_minus, q_plus, p_minus, p_plus, inv_mass):
     dq = q_plus - q_minus
     return jnp.logical_or(
-        jnp.dot(dq, inv_mass * p_minus) < 0,
-        jnp.dot(dq, inv_mass * p_plus) < 0,
+        jnp.dot(dq, mass_matvec(inv_mass, p_minus)) < 0,
+        jnp.dot(dq, mass_matvec(inv_mass, p_plus)) < 0,
     )
 
 
@@ -110,10 +116,8 @@ def nuts_kernel(
     key_mom, key_dirs, key_tree = jax.random.split(key, 3)
 
     pot0, g0 = pot_and_grad(q)
-    p0 = jax.random.normal(key_mom, (dim,), dtype=q.dtype) / jnp.sqrt(
-        inv_mass
-    )
-    h0 = pot0 + 0.5 * jnp.sum(inv_mass * p0**2)
+    p0 = mass_momentum(key_mom, inv_mass, q.dtype)
+    h0 = pot0 + mass_kinetic(inv_mass, p0)
 
     init = _TreeState(
         q_cand=q,
@@ -197,7 +201,7 @@ def nuts_kernel(
                 direction.astype(q.dtype),
             )
             pot1 = potential(q1)
-            h1 = pot1 + 0.5 * jnp.sum(inv_mass * p1**2)
+            h1 = pot1 + mass_kinetic(inv_mass, p1)
             delta = h1 - h0
             diverged = jnp.logical_or(
                 ~jnp.isfinite(h1), delta > divergence_threshold

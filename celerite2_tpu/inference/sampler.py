@@ -38,16 +38,15 @@ def _find_reasonable_step_size(logdensity_fn, q, key, inv_mass):
         return -logdensity_fn(x)
 
     grad_fn = jax.grad(potential)
-    dim = q.shape[0]
-    p = jax.random.normal(key, (dim,), q.dtype) / jnp.sqrt(inv_mass)
-    h0 = potential(q) + 0.5 * jnp.sum(inv_mass * p**2)
+    p = _adapt.mass_momentum(key, inv_mass, q.dtype)
+    h0 = potential(q) + _adapt.mass_kinetic(inv_mass, p)
 
     def accept_at(eps):
         g = grad_fn(q)
         p1 = p - 0.5 * eps * g
-        q1 = q + eps * inv_mass * p1
+        q1 = q + eps * _adapt.mass_matvec(inv_mass, p1)
         p1 = p1 - 0.5 * eps * grad_fn(q1)
-        h1 = potential(q1) + 0.5 * jnp.sum(inv_mass * p1**2)
+        h1 = potential(q1) + _adapt.mass_kinetic(inv_mass, p1)
         return jnp.where(jnp.isfinite(h1), jnp.exp(h0 - h1), 0.0)
 
     a0 = accept_at(jnp.asarray(1.0, q.dtype))
@@ -107,6 +106,7 @@ def _run_chains(
     chunk_size: Optional[int] = None,
     checkpoint=None,
     monitor: Optional[Callable] = None,
+    dense_mass: bool = False,
 ):
     """All chains in ONE scan over steps with a vmapped step body.
 
@@ -140,7 +140,12 @@ def _run_chains(
         last_warm[num_warmup - 1] = True
 
     keys, keys_eps = jax.vmap(jax.random.split, out_axes=1)(keys)
-    inv_mass0 = jnp.ones((C, dim), dtype)
+    if dense_mass:
+        inv_mass0 = jnp.broadcast_to(
+            jnp.eye(dim, dtype=dtype), (C, dim, dim)
+        )
+    else:
+        inv_mass0 = jnp.ones((C, dim), dtype)
     eps0 = jax.vmap(
         lambda q, k, m: _find_reasonable_step_size(
             logdensity_fn, q, k, m
@@ -172,7 +177,7 @@ def _run_chains(
         # dual averaging around the current step size
         new_inv_mass = _adapt.welford_variance(wf)
         inv_mass = jnp.where(at_end, new_inv_mass, inv_mass)
-        wf_reset = _adapt.welford_init(dim, dtype)
+        wf_reset = _adapt.welford_init(dim, dtype, dense=dense_mass)
         wf = jax.tree_util.tree_map(
             lambda r, old: jnp.where(at_end, r, old), wf_reset, wf
         )
@@ -196,7 +201,7 @@ def _run_chains(
 
     wf0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (C,) + x.shape),
-        _adapt.welford_init(dim, dtype),
+        _adapt.welford_init(dim, dtype, dense=dense_mass),
     )
     carry = (q0, da0, wf0, inv_mass0, eps0, keys)
 
@@ -257,8 +262,14 @@ def run_nuts(
     chunk_size: Optional[int] = None,
     checkpoint=None,
     monitor: Optional[Callable] = None,
+    dense_mass: bool = False,
 ) -> NUTSResult:
     """Run NUTS over one or many chains.
+
+    ``dense_mass=True`` adapts a full (dim, dim) covariance metric
+    during the slow windows (role of PyMC/numpyro ``dense_mass``);
+    momenta are drawn via a small-dim unrolled Cholesky (TPU-safe,
+    no LAPACK custom call).  Default is the diagonal metric.
 
     ``init_params``: (dim,) or (C, dim).  If (dim,) and ``num_chains``
     is given, chains start from jittered copies.  Pass ``chain_axis``
@@ -299,6 +310,7 @@ def run_nuts(
         chunk_size=chunk_size,
         checkpoint=checkpoint,
         monitor=monitor,
+        dense_mass=dense_mass,
     )
     return NUTSResult(
         samples=samples,

@@ -47,7 +47,6 @@ def main(N=100_000, J=2, chain=100):
         return k
 
     def ll(theta, t, yerr, y):
-        set_config(backend="assoc")
         return gp_loglik(make_kernel(theta), t, y, yerr=yerr)
 
     def many(theta, t, yerr, y):
@@ -91,7 +90,7 @@ def main(N=100_000, J=2, chain=100):
     )
 
 
-def main_fleet(N=30_000, C=32, chain=20):
+def main_fleet(N=30_000, C=32, chain=100):
     """Vmapped-fleet A/B: C chains of value_and_grad(gp_loglik) through
     vmap (planes: chains fold into the kernel lane axis via the
     custom_vmap rule; generic: vmapped two-level engine)."""
@@ -111,7 +110,6 @@ def main_fleet(N=30_000, C=32, chain=20):
     )
 
     def ll(theta, t, yerr, y):
-        set_config(backend="assoc")
         k = terms.SHOTerm(
             sigma=jnp.exp(theta[0]),
             rho=jnp.exp(theta[1]),
@@ -169,7 +167,7 @@ if __name__ == "__main__":
         main_fleet(
             int(float(a[1])) if len(a) > 1 else 30_000,
             int(a[2]) if len(a) > 2 else 32,
-            int(a[3]) if len(a) > 3 else 20,
+            int(a[3]) if len(a) > 3 else 100,
         )
     else:
         main(

@@ -25,7 +25,7 @@ timeout 2400 python -u benchmarks/probe_planes_tpu.py 100000 4 100 \
   2>&1 | tee "$LOG/planes_J4.log"
 
 echo "== 1c/3 planes fleet probe (vmapped, N=3e4, C=32) =="
-timeout 2400 python -u benchmarks/probe_planes_tpu.py fleet 30000 32 20 \
+timeout 2400 python -u benchmarks/probe_planes_tpu.py fleet 30000 32 100 \
   2>&1 | tee "$LOG/planes_fleet.log"
 
 echo "== 2/3 config5 N=1e6 =="

@@ -128,9 +128,10 @@ def welford_variance(state: WelfordState, *, regularize=True):
 # N(0, inv_mass^{-1}).
 
 
-def chol_small(A):
-    """Lower Cholesky of a small SPD matrix, Python-unrolled over the
-    static dimension (works in any dtype on TPU — no LAPACK call)."""
+def _chol_rows(A):
+    """Lower-Cholesky entries of a small SPD matrix as a list of row
+    lists, Python-unrolled over the static dimension (works in any
+    dtype on TPU — no LAPACK call)."""
     dim = A.shape[0]
     rows = [[None] * dim for _ in range(dim)]
     for i in range(dim):
@@ -142,6 +143,13 @@ def chol_small(A):
                 rows[i][j] = jnp.sqrt(s)
             else:
                 rows[i][j] = s / rows[j][j]
+    return rows
+
+
+def chol_small(A):
+    """Lower Cholesky of a small SPD matrix as a dense array."""
+    dim = A.shape[0]
+    rows = _chol_rows(A)
     out = jnp.zeros_like(A)
     for i in range(dim):
         for j in range(i + 1):
@@ -188,11 +196,10 @@ def mass_momentum(key, inv_mass, dtype):
     dim = inv_mass.shape[0]
     z = jax.random.normal(key, (dim,), dtype)
     if inv_mass.ndim == 2:
-        L = chol_small(inv_mass)
-        rows = [
-            [L[i, j] for j in range(dim)] for i in range(dim)
-        ]
-        return _tri_solve_upper(rows, z)
+        # rows used directly: packing the factor into a matrix and
+        # re-extracting entries would add dim^2 scatters/gathers to
+        # every step body (the compile-time wall for batched samplers)
+        return _tri_solve_upper(_chol_rows(inv_mass), z)
     return z / jnp.sqrt(inv_mass)
 
 

@@ -27,7 +27,7 @@ class NUTSResult(NamedTuple):
     num_steps: jax.Array  # (C, num_samples)
     diverging: jax.Array  # (C, num_samples) bool
     step_size: jax.Array  # (C,)
-    inv_mass: jax.Array  # (C, dim)
+    inv_mass: jax.Array  # (C, dim) diagonal metric or (C, dim, dim) dense
 
 
 def _find_reasonable_step_size(logdensity_fn, q, key, inv_mass):

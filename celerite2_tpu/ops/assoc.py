@@ -254,8 +254,7 @@ def _engine_scan(combine, elems, identity, *, reverse=False,
             planes_enabled, prefix_planes,
         )
 
-        leaf = jax.tree_util.tree_leaves(elems)[0]
-        if planes_enabled(_vmapped(leaf)):
+        if planes_enabled():
             return prefix_planes(spec, elems, reverse=reverse)
     if _use_two_level():
         return two_level_prefix(

@@ -56,7 +56,7 @@ _LANES = 128
 _SUBS = 8
 
 
-def planes_enabled(vmapped: bool) -> bool:
+def planes_enabled() -> bool:
     """Planes engine routing: 'on' forces it for both unbatched and
     vmapped traces (interpret mode off-TPU; vmap handled by the
     custom_vmap batch-folding rule); 'auto' is currently OFF
@@ -65,9 +65,7 @@ def planes_enabled(vmapped: bool) -> bool:
     when it landed); flip 'auto' to TPU once hardware numbers exist."""
     from celerite2_tpu.config import get_config
 
-    mode = getattr(get_config(), "planes", "auto")
-    del vmapped  # both paths supported; routing is mode-only
-    return mode == "on"
+    return getattr(get_config(), "planes", "auto") == "on"
 
 
 def _interpret() -> bool:

@@ -57,7 +57,7 @@ def test_nuts_gaussian(gaussian_target):
     assert float(jnp.mean(res.diverging)) < 0.01
 
 
-def test_nuts_dense_mass(gaussian_target):
+def test_nuts_dense_mass():
     """Dense metric: a strongly correlated target sampled with
     dense_mass=True recovers moments AND the adapted inv_mass
     approximates the posterior covariance (off-diagonals included) —

@@ -75,10 +75,41 @@ def time_fn(fn, args, chain_len, *, reps, warmup=1):
     return dt, float(v)
 
 
+def _ensure_live_backend(probe_timeout=180):
+    """The axon TPU tunnel can be hard-down for hours (jax.devices()
+    then HANGS, not errors).  Probe it in a SUBPROCESS with a timeout
+    — once the main process touches devices there is no recovery — and
+    fall back to CPU so the bench still emits its JSON line (tagged
+    with the platform it actually ran on)."""
+    import subprocess
+    import sys
+
+    plats = jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
+    if "axon" not in plats:
+        return  # no tunnel in play (e.g. CI): nothing to probe
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=probe_timeout,
+            capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(
+            "# axon backend unavailable; falling back to CPU",
+            file=sys.stderr,
+            flush=True,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main(smoke: bool = False):
     """Full benchmark, or ``--smoke``: a minutes-scale CI gate (small N,
     short chains, no fleet) that checks the metric pipeline end to end
     and still prints the one JSON line."""
+    _ensure_live_backend()
     N = 4_096 if smoke else 100_000
     rng = np.random.default_rng(42)
     t = jnp.asarray(np.sort(rng.uniform(0, 1000, N)))
@@ -122,6 +153,7 @@ def main(smoke: bool = False):
         "value": round(best, 3),
         "unit": "evals/s",
         "vs_baseline": round(best / baseline, 3),
+        "platform": jax.default_backend(),
     }
     if not smoke:
         payload["ess_per_s_fleet_N3e4_C64"] = round(_fleet_ess_rate(), 3)

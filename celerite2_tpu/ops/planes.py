@@ -215,9 +215,10 @@ class PlanesSpec:
         self.identity_scalars = identity_scalars
 
 
-def mat_affine_spec(D, K, dtype):
+def mat_affine_spec(D, K, dtype, *, full=False):
     """(A (N,D,D), b (N,D,K)) affine maps x -> A x + b
-    (mirror of assoc._mat_affine_combine)."""
+    (mirror of assoc._mat_affine_combine).  ``full=True`` keeps every
+    leaf valid in the distribute phase."""
 
     def to_planes(elems):
         A, b = elems
@@ -240,13 +241,18 @@ def mat_affine_spec(D, K, dtype):
 
     ident = [1.0 if i == j else 0.0 for i in range(D) for j in range(D)]
     ident += [0.0] * (D * K)
-    return PlanesSpec(to_planes, from_planes, combine, ident, distribute)
+    return PlanesSpec(
+        to_planes, from_planes, combine, ident,
+        combine if full else distribute,
+    )
 
 
-def diag_affine_spec(shape_tail, dtype):
+def diag_affine_spec(shape_tail, dtype, *, full=False):
     """(alpha, beta) elementwise affine f -> alpha * f + beta with
     trailing component dims ``shape_tail`` (e.g. (J, K)); mirror of
-    assoc._diag_affine combine."""
+    assoc._diag_affine combine.  ``full=True`` keeps EVERY leaf valid
+    in the distribute phase (for callers that consume the maps
+    themselves, e.g. the sharded three-phase ops)."""
     import numpy as np
 
     idx = list(np.ndindex(*shape_tail)) if shape_tail else [()]
@@ -288,13 +294,14 @@ def diag_affine_spec(shape_tail, dtype):
     n = len(idx)
     return PlanesSpec(
         to_planes, from_planes, combine,
-        [1.0] * n + [0.0] * n, distribute,
+        [1.0] * n + [0.0] * n, combine if full else distribute,
     )
 
 
-def riccati_spec(J, dtype):
+def riccati_spec(J, dtype, *, full=False):
     """(A, Q, R) Riccati elements (mirror of assoc._riccati_combine,
-    incl. the shared push-through inverse and drift symmetrization)."""
+    incl. the shared push-through inverse and drift symmetrization).
+    ``full=True`` keeps every leaf valid in the distribute phase."""
 
     def to_planes(elems):
         A, Q, R = elems
@@ -326,7 +333,8 @@ def riccati_spec(J, dtype):
     eyeJ = [1.0 if i == j else 0.0 for i in range(J) for j in range(J)]
     zJ = [0.0] * (J * J)
     return PlanesSpec(
-        to_planes, from_planes, combine, eyeJ + zJ + zJ, distribute
+        to_planes, from_planes, combine, eyeJ + zJ + zJ,
+        combine if full else distribute,
     )
 
 

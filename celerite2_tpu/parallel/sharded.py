@@ -35,6 +35,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from functools import partial
 
 from celerite2_tpu.gp import LOG2PI
+from celerite2_tpu.ops.planes import (
+    diag_affine_spec,
+    mat_affine_spec,
+    riccati_spec,
+)
 from celerite2_tpu.ops.assoc import (
     _bmm,
     _bmv,
@@ -66,6 +71,8 @@ __all__ = [
     "sharded_general_matmul_upper",
     "sharded_conditional_variance",
     "make_sharded_logdensity",
+    "sharded_sample_conditional",
+    "make_sharded_conditional_sampler",
 ]
 
 
@@ -181,7 +188,10 @@ def _sharded_forward(axis_name, t, c, a, U, V, resid):
         * phi[:, None, :]
     )
     R_r = -U_prev[:, :, None] * U_prev[:, None, :] / al
-    pref = _engine_scan(_riccati_combine, (A_r, Q_r, R_r), _id_riccati)
+    pref = _engine_scan(
+        _riccati_combine, (A_r, Q_r, R_r), _id_riccati,
+        spec=riccati_spec(J, dtype, full=True),
+    )
     blocks = jax.tree_util.tree_map(
         lambda x: lax.all_gather(x[-1], axis_name), pref
     )
@@ -212,7 +222,8 @@ def _sharded_forward(axis_name, t, c, a, U, V, resid):
     )
     b_el = phi * (W_prev * resid_prev[:, None])
     prefF = _engine_scan(
-        _mat_affine_combine, (A_el, b_el[..., None]), _id_affine
+        _mat_affine_combine, (A_el, b_el[..., None]), _id_affine,
+        spec=mat_affine_spec(J, 1, dtype, full=True),
     )
     blocksF = jax.tree_util.tree_map(
         lambda x: lax.all_gather(x[-1], axis_name), prefF
@@ -320,6 +331,7 @@ def _sharded_loglik_bwd(axis_name, res, bll):
     A_suf, b_suf = _suffix_states(
         (Lmat, cvec[..., None]), _mat_affine_combine, _id_affine,
         reverse=True,
+        spec=mat_affine_spec(dim, 1, dtype, full=True),
     )
     b_suf = b_suf[..., 0]
 
@@ -478,7 +490,10 @@ def sharded_factor(t, c, a, U, V, *, axis_name="seq"):
         * phi[:, None, :]
     )
     R_r = -U_prev[:, :, None] * U_prev[:, None, :] / al
-    pref = _engine_scan(_riccati_combine, (A_r, Q_r, R_r), _id_riccati)
+    pref = _engine_scan(
+        _riccati_combine, (A_r, Q_r, R_r), _id_riccati,
+        spec=riccati_spec(J, dtype, full=True),
+    )
     blocks = jax.tree_util.tree_map(
         lambda x: lax.all_gather(x[-1], axis_name), pref
     )
@@ -543,7 +558,8 @@ def sharded_solve_lower(t, c, U, W, y, *, axis_name="seq"):
         W_prev[:, :, None] * Y_prev[:, None, :]
     )
     Apf, bpf = _engine_scan(
-        _mat_affine_combine, (A_el, b_el), _id_affine
+        _mat_affine_combine, (A_el, b_el), _id_affine,
+        spec=mat_affine_spec(J, K, dtype, full=True),
     )
     gA = lax.all_gather(Apf[-1], axis_name)
     gb = lax.all_gather(bpf[-1], axis_name)
@@ -606,6 +622,7 @@ def _sharded_matmul(t, c, A, B_mat, y, *, axis_name, upper):
                 jnp.ones((1, J), e[0].dtype),
                 jnp.zeros((1, J), e[1].dtype),
             ),
+            spec=diag_affine_spec((J,), alpha.dtype, full=True),
         )
         ga = lax.all_gather(pa[-1], axis_name)
         gb = lax.all_gather(pb[-1], axis_name)
@@ -630,6 +647,7 @@ def _sharded_matmul(t, c, A, B_mat, y, *, axis_name, upper):
                 jnp.zeros((1, J), e[1].dtype),
             ),
             reverse=True,
+            spec=diag_affine_spec((J,), alpha.dtype, full=True),
         )
         ga = lax.all_gather(pa[0], axis_name)
         gb = lax.all_gather(pb[0], axis_name)
@@ -725,6 +743,7 @@ def sharded_general_matmul_lower(
             jnp.ones((1, J), phi.dtype),
             jnp.zeros((1, J), G.dtype),
         ),
+        spec=diag_affine_spec((J,), phi.dtype, full=True),
     )
     F_loc = pa * _fold_diag_in(pa, pb, idx, n_dev, axis_name) + pb
 
@@ -766,6 +785,7 @@ def sharded_general_matmul_upper(
             jnp.zeros((1, J), G.dtype),
         ),
         reverse=True,
+        spec=diag_affine_spec((J,), phi_up.dtype, full=True),
     )
     # incoming suffix carry from the RIGHT shards
     ga = lax.all_gather(pa[0], axis_name)
@@ -892,3 +912,171 @@ def make_sharded_logdensity(
         return fn(t, a, U, V, resid, c)
 
     return logdensity
+
+
+def sharded_sample_conditional(
+    t, c, a, U, V, resid, diag,
+    t_u, a_u, U_u, V_u,
+    pos_train, pos_test,
+    t_new, U_new, V_new,
+    z_u, eps,
+    *, axis_name="seq",
+):
+    """One exact conditional sample with the sequence axis sharded,
+    via pathwise (Matheron) conditioning — NO dense M x M Cholesky.
+
+    The reference's conditional sampler is an O(M^3) dense Cholesky
+    (core.py:152-179) with no sharding story.  Here the sample is::
+
+        f* | y  =  f*  +  K(t_new, t) (K_tt + S)^{-1} (resid - f_t - e)
+
+    with ``(f_t, f*)`` one draw of the joint latent prior over the
+    sorted union of training and target times — computed with the
+    *sharded* semiseparable factor + matmul (O((N+M) J^2) work spread
+    over the mesh) — and ``e = sqrt(diag) * eps``.  Exactly the law of
+    the dense conditional.
+
+    Local (per-shard) arguments: training ``t, a, U, V, resid, diag``
+    and the union grid ``t_u, a_u, U_u, V_u, z_u`` plus ``pos_train``
+    (this shard's training points' positions in the GLOBAL union) and
+    ``eps``.  Replicated: ``c``, ``pos_test (M,)`` (target positions in
+    the global union), and the target matrices ``t_new, U_new, V_new``.
+    The union may be padded past its true end (extra later rows never
+    influence earlier rows of the forward factorization); ``pos_*``
+    simply never reference pad rows.
+
+    Communication: the sharded-op collectives plus ONE O(N+M) vector
+    ``all_gather`` of the latent draw (the permutation union -> (train,
+    test) crosses shard boundaries; gathering the vector is ~MBs even
+    at N=1e6, negligible next to the J^2 recursions).
+
+    Returns the replicated sample ``(M,)`` (mean NOT included — the
+    caller owns the mean function, cf. ``make_sharded_logdensity``).
+    """
+    # joint latent prior draw on the union shards
+    d_u, W_u, _ = sharded_factor(
+        t_u, c, a_u, U_u, V_u, axis_name=axis_name
+    )
+    f_u = sharded_dot_tril(
+        t_u, c, U_u, W_u, d_u, z_u, axis_name=axis_name
+    )
+    # replicate the latent draw: each shard scatters its slice into its
+    # global slot and one psum assembles the vector (psum output is
+    # replicated in the varying-axes system, unlike all_gather's)
+    idx = lax.axis_index(axis_name)
+    n_dev = lax.axis_size(axis_name)
+    B_u = f_u.shape[0]
+    f_glob = lax.psum(
+        lax.dynamic_update_slice(
+            jnp.zeros((n_dev * B_u,), f_u.dtype), f_u, (idx * B_u,)
+        ),
+        axis_name,
+    )
+    f_train = f_glob[pos_train]
+    f_test = f_glob[pos_test]
+
+    # conditional correction through the training factorization
+    r = resid - f_train - jnp.sqrt(diag) * eps
+    d, W, _ = sharded_factor(t, c, a, U, V, axis_name=axis_name)
+    alpha = sharded_apply_inverse(
+        t, c, U, W, d, r, axis_name=axis_name
+    )
+    corr = sharded_general_matmul_lower(
+        t_new, t, c, U_new, V, alpha, axis_name=axis_name
+    ) + sharded_general_matmul_upper(
+        t_new, t, c, V_new, U, alpha, axis_name=axis_name
+    )
+    return f_test + corr
+
+
+def make_sharded_conditional_sampler(
+    kernel, t, y, yerr, t_new, mesh: Mesh, *,
+    seq_axis: str = "seq", mean=0.0, regularize=None,
+):
+    """Build ``sample(key) -> (M,)`` drawing exact conditional samples
+    at ``t_new`` with the sequence axis sharded over ``mesh[seq_axis]``
+    (pathwise conditioning; see :func:`sharded_sample_conditional`).
+
+    Host-side setup: sorts the (t, t_new) union, pads it to divide the
+    axis evenly (pad times extend past the end — they cannot influence
+    earlier rows of the forward factorization), and records the static
+    union positions of the training/target points.  ``len(t)`` itself
+    must divide evenly (same contract as ``make_sharded_logdensity``).
+    ``regularize`` adds jitter to the *joint* prior diagonal — required
+    when ``t_new`` duplicates training times.
+    """
+    import numpy as np
+    from jax import shard_map
+
+    t = np.asarray(t)
+    y = np.asarray(y)
+    t_new = np.asarray(t_new)
+    yerr = np.broadcast_to(np.asarray(yerr), t.shape)
+    N, M = t.shape[0], t_new.shape[0]
+    n_dev = mesh.shape[seq_axis]
+
+    # sorted union (+ even-division padding past the end)
+    t_all = np.concatenate([t, t_new])
+    order = np.argsort(t_all, kind="stable")
+    t_u = t_all[order]
+    inv = np.argsort(order, kind="stable")
+    pos_train, pos_test = inv[:N], inv[N:]
+    pad = (-(N + M)) % n_dev
+    if pad:
+        step = np.median(np.diff(t_u)) if N + M > 1 else 1.0
+        extra = t_u[-1] + step * np.arange(1, pad + 1)
+        t_u = np.concatenate([t_u, extra])
+    diag_u = np.zeros_like(t_u)
+    if regularize is not None:
+        diag_u = diag_u + regularize
+
+    mean_fn = mean if callable(mean) else (lambda x: mean)
+    resid = y - np.broadcast_to(np.asarray(mean_fn(t)), t.shape)
+    mean_new = jnp.broadcast_to(
+        jnp.asarray(mean_fn(t_new)), t_new.shape
+    )
+
+    c, a, U, V = (
+        np.asarray(x) for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    _, a_u, U_u, V_u = (
+        np.asarray(x) for x in kernel.get_celerite_matrices(t_u, diag_u)
+    )
+    _, _, U_new, V_new = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(
+            t_new, np.zeros_like(t_new)
+        )
+    )
+
+    seq = P(seq_axis)
+    rep = P()
+    core = shard_map(
+        partial(sharded_sample_conditional, axis_name=seq_axis),
+        mesh=mesh,
+        in_specs=(
+            seq, rep, seq, seq, seq, seq, seq,   # training + resid/diag
+            seq, seq, seq, seq,                  # union grid
+            seq, rep,                            # pos_train, pos_test
+            rep, rep, rep,                       # target matrices
+            seq, seq,                            # z_u, eps
+        ),
+        out_specs=rep,
+    )
+
+    def sample(key):
+        kz, ke = jax.random.split(key)
+        z_u = jax.random.normal(kz, t_u.shape, dtype=jnp.asarray(
+            t_u
+        ).dtype)
+        eps = jax.random.normal(ke, t.shape, dtype=z_u.dtype)
+        samp = core(
+            t, c, a, U, V, resid, yerr**2,
+            t_u, a_u, U_u, V_u,
+            pos_train, pos_test,
+            t_new, U_new, V_new,
+            z_u, eps,
+        )
+        return samp + mean_new
+
+    return sample

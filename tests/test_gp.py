@@ -223,3 +223,48 @@ def test_predict_mean_is_differentiable():
     eps = 1e-5
     fd = (f(jnp.asarray(1.0 + eps)) - f(jnp.asarray(1.0 - eps))) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+
+def test_pathwise_conditional_exact_moments(data, kernel):
+    """sample_pathwise is affine in its noise draws; its implied first
+    and second moments must EXACTLY match the dense conditional
+    (Matheron's rule) — no Monte Carlo tolerance involved."""
+    t, yerr, y = data
+    N = len(t)
+    M = 13
+    t_new = np.linspace(-0.5, 10.5, M)
+    gp = GaussianProcess(kernel, t=t, yerr=yerr, mean=1.5)
+    cond = gp.condition(y, t=t_new)
+
+    def samp(noise):
+        z, eps = noise[: N + M], noise[N + M :]
+        return cond._pathwise_transform(z, eps)
+
+    zero = jnp.zeros(N + M + N)
+    mu = samp(zero)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(cond.mean), rtol=1e-8, atol=1e-10
+    )
+    A = jax.jacrev(samp)(zero)  # (M, N+M+N)
+    cov_implied = np.asarray(A @ A.T)
+    np.testing.assert_allclose(
+        cov_implied, np.asarray(cond.covariance), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_pathwise_conditional_shapes_and_dup_times(data, kernel):
+    t, yerr, y = data
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    # targets that duplicate training times need the joint jitter
+    t_new = np.concatenate([t[::7], np.linspace(2.0, 8.0, 5)])
+    t_new = np.sort(t_new)
+    cond = gp.condition(y, t=t_new)
+    s = cond.sample_pathwise(
+        jax.random.PRNGKey(3), shape=(6,), regularize=1e-8
+    )
+    assert s.shape == (6, len(t_new))
+    assert np.all(np.isfinite(np.asarray(s)))
+    # kernel= component conditionals are out of scope
+    sub = gp.condition(y, t=t_new, kernel=gp.kernel.terms[0])
+    with pytest.raises(NotImplementedError):
+        sub.sample_pathwise(jax.random.PRNGKey(4))

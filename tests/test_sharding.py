@@ -550,3 +550,106 @@ def test_sharded_predict_mean_at_new_points(mesh_seq):
         jnp.asarray(t_new), U2, V2,
     )
     np.testing.assert_allclose(mu, mu_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_sharded_pathwise_sample_matches_single_chip(mesh_seq):
+    """sharded_sample_conditional with pinned noise reproduces the
+    single-chip pathwise transform exactly (same affine map, split
+    across the mesh)."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import make_sharded_conditional_sampler
+    from celerite2_tpu.parallel import sharded as sh
+    from jax import shard_map
+    from functools import partial
+
+    t, yerr, y = _data(120)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    M = 24  # N + M = 144 divides over 8 devices; no padding
+    t_new = np.linspace(-1.0, 21.0, M)
+
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    cond = gp.condition(y, t=t_new)
+    rng = np.random.default_rng(77)
+    z = rng.normal(size=120 + M)
+    eps = rng.normal(size=120)
+    want = np.asarray(
+        cond._pathwise_transform(jnp.asarray(z), jnp.asarray(eps))
+    )
+
+    # host-side setup mirroring make_sharded_conditional_sampler
+    t_all = np.concatenate([t, t_new])
+    order = np.argsort(t_all, kind="stable")
+    t_u = t_all[order]
+    inv = np.argsort(order, kind="stable")
+    pos_train, pos_test = inv[:120], inv[120:]
+    c, a, U, V = (
+        np.asarray(x) for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    _, a_u, U_u, V_u = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(t_u, np.zeros_like(t_u))
+    )
+    _, _, U_new, V_new = (
+        np.asarray(x)
+        for x in kernel.get_celerite_matrices(
+            t_new, np.zeros_like(t_new)
+        )
+    )
+    seq, rep = P("seq"), P()
+    core = shard_map(
+        partial(sh.sharded_sample_conditional, axis_name="seq"),
+        mesh=mesh_seq,
+        in_specs=(
+            seq, rep, seq, seq, seq, seq, seq,
+            seq, seq, seq, seq,
+            seq, rep,
+            rep, rep, rep,
+            seq, seq,
+        ),
+        out_specs=rep,
+    )
+    got = core(
+        t, c, a, U, V, y, yerr**2,
+        t_u, a_u, U_u, V_u,
+        pos_train, pos_test,
+        t_new, U_new, V_new,
+        z, eps,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-7,
+                               atol=1e-9)
+
+
+def test_make_sharded_conditional_sampler(mesh_seq):
+    """End-to-end wrapper: union padding, mean handling, and sample
+    moments against the dense conditional."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import make_sharded_conditional_sampler
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    M = 11  # N + M = 139 -> pads to 144 over 8 devices
+    t_new = np.linspace(2.0, 18.0, M)
+
+    sampler = jax.jit(
+        make_sharded_conditional_sampler(
+            kernel, t, y, yerr, t_new, mesh_seq, mean=0.7
+        )
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), 400)
+    samps = np.asarray(jnp.stack([sampler(k) for k in keys[:2]]))
+    assert samps.shape == (2, M)
+    assert np.all(np.isfinite(samps))
+
+    gp = GaussianProcess(kernel, t=t, yerr=yerr, mean=0.7)
+    cond = gp.condition(y, t=t_new)
+    samps = np.asarray(jax.vmap(sampler)(keys))
+    emp_mean = samps.mean(axis=0)
+    emp_cov = np.cov(samps.T)
+    sd = np.sqrt(np.asarray(cond.variance))
+    np.testing.assert_allclose(
+        emp_mean, np.asarray(cond.mean), atol=4.5 * sd.max() / 20.0
+    )
+    np.testing.assert_allclose(
+        emp_cov, np.asarray(cond.covariance),
+        atol=5.0 * float(sd.max() ** 2) / 20.0 + 1e-3,
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "gp_compute",
     "gp_log_likelihood",
     "gp_loglik",
+    "gp_sample_conditional",
 ]
 
 LOG2PI = math.log(2.0 * math.pi)
@@ -328,6 +329,96 @@ def gp_sample(state: GPState, key, *, shape=(), include_mean=True):
     return samp
 
 
+def _cross_dot(kernel, t_train, xs, inp):
+    """``K*(xs, t_train) @ inp`` via the rectangular semiseparable ops
+    (reference core.py:68-113)."""
+    zeros_t = jnp.zeros_like(t_train)
+    zeros_s = jnp.zeros_like(xs)
+    c, _, U1, V1 = kernel.get_celerite_matrices(t_train, zeros_t)
+    _, _, U2, V2 = kernel.get_celerite_matrices(xs, zeros_s)
+    inp2, is_vec = _as_matrix(inp)
+    z = ops.general_matmul_lower(
+        xs, t_train, c, U2, V1, inp2
+    ) + ops.general_matmul_upper(xs, t_train, c, V2, U1, inp2)
+    return z[:, 0] if is_vec else z
+
+
+def _pathwise_core(state, kernel, y, xs, z, eps, *, regularize=None):
+    """Pathwise (Matheron) conditional draws as a pure function of the
+    noise: ``f* + K(xs, t) (K_tt + S)^{-1} (y - m - f_t - e)`` with
+    ``(f_t, f*)`` one joint latent prior draw over the sorted union of
+    training and target times (O((N+M) J^2) semiseparable factor) and
+    ``e = sqrt(diag) * eps``.  Mean at ``xs`` NOT included.
+    """
+    N = state.t.shape[0]
+    M = xs.shape[0]
+
+    # joint latent prior over the sorted union of (t, xs); a stable
+    # argsort keeps equal times in (train, test) order so duplicated
+    # points stay adjacent (use ``regularize`` then: the
+    # exactly-duplicated joint system is singular)
+    t_all = jnp.concatenate([state.t, xs])
+    order = jnp.argsort(t_all, stable=True)
+    t_u = t_all[order]
+    inv = jnp.argsort(order, stable=True)
+    pos_train, pos_test = inv[:N], inv[N:]
+    diag_u = jnp.zeros_like(t_u)
+    if regularize is not None:
+        diag_u = diag_u + regularize
+    c, a, U, V = kernel.get_celerite_matrices(t_u, diag_u)
+    d_u, W_u = ops.factor(t_u, c, a, U, V)
+
+    # f ~ N(0, K_joint) via the O(N+M) semiseparable factor
+    zf = z.reshape(-1, N + M).T
+    safe_d = jnp.where(d_u > 0, d_u, jnp.zeros_like(d_u))
+    f = jnp.sqrt(safe_d)[:, None] * zf
+    f = f + ops.matmul_lower(t_u, c, U, W_u, f)
+    f_all = f.T.reshape(z.shape)
+    f_train = f_all[..., pos_train]
+    f_test = f_all[..., pos_test]
+
+    # correction: K(xs, t) (K_tt + Sigma)^{-1} (y - m - f - eps)
+    noise = eps * jnp.sqrt(state.diag)
+    resid = (y - state.mean_value) - f_train - noise
+    alpha = gp_apply_inverse(
+        state, jnp.moveaxis(resid.reshape(-1, N), 0, 1)
+    )
+    corr = _cross_dot(kernel, state.t, xs, alpha)
+    return f_test + jnp.moveaxis(corr, 0, -1).reshape(
+        eps.shape[:-1] + (M,)
+    )
+
+
+def gp_sample_conditional(state, kernel, y, t_new, key, *, shape=(),
+                          mean=0.0, regularize=None):
+    """Exact conditional samples at ``t_new`` — functional core of
+    :meth:`ConditionalDistribution.sample_pathwise` (pathwise/Matheron
+    conditioning, O(N+M) per draw, no dense Cholesky).
+
+    Being a pure function of ``(state, kernel, y)`` pytrees, this is
+    the posterior-predictive building block for FLEETS: vmap it over a
+    stack of posterior ``GPState``s (one per theta draw) and the whole
+    predictive ensemble is one XLA program.
+
+    ``mean`` (scalar or callable) is the mean function evaluated at
+    ``t_new`` (the training mean is already in ``state.mean_value``).
+    ``regularize`` jitters the joint prior diagonal — required when
+    ``t_new`` duplicates training times.
+    """
+    t_new = _atleast_1d(t_new)
+    y = _asarr(y)
+    N = state.t.shape[0]
+    M = t_new.shape[0]
+    kz, ke = jax.random.split(key)
+    z = jax.random.normal(kz, shape + (N + M,), dtype=state.t.dtype)
+    eps = jax.random.normal(ke, shape + (N,), dtype=state.t.dtype)
+    samp = _pathwise_core(
+        state, kernel, y, t_new, z, eps, regularize=regularize
+    )
+    mean_fn = mean if callable(mean) else ConstantMean(mean)
+    return samp + jnp.broadcast_to(_asarr(mean_fn(t_new)), (M,))
+
+
 # ======================================================== conditional
 
 
@@ -370,18 +461,8 @@ class ConditionalDistribution:
     def _do_dot(self, inp):
         """General cross-kernel product K*(xs, t) @ inp via the
         rectangular semiseparable ops (reference core.py:68-113)."""
-        st = self.gp._state
         kernel = self.kernel or self.gp.kernel
-        zeros_t = jnp.zeros_like(st.t)
-        zeros_s = jnp.zeros_like(self._xs)
-        c, _, U1, V1 = kernel.get_celerite_matrices(st.t, zeros_t)
-        _, _, U2, V2 = kernel.get_celerite_matrices(self._xs, zeros_s)
-
-        inp2, is_vec = _as_matrix(inp)
-        z = ops.general_matmul_lower(
-            self._xs, st.t, c, U2, V1, inp2
-        ) + ops.general_matmul_upper(self._xs, st.t, c, V2, U1, inp2)
-        return z[:, 0] if is_vec else z
+        return _cross_dot(kernel, self.gp._state.t, self._xs, inp)
 
     @property
     def mean(self):
@@ -440,48 +521,13 @@ class ConditionalDistribution:
         affine in ``(z, eps)``, and its Jacobian ``A`` must satisfy
         ``A A^T == covariance`` (no Monte Carlo error involved).
         """
-        st = self.gp._state
         kernel = self.kernel or self.gp.kernel
-        xs = self._xs
-        N = st.t.shape[0]
-        M = xs.shape[0]
-
-        # joint latent prior over the sorted union of (t, xs); a
-        # stable argsort keeps equal times in (train, test) order so
-        # duplicated points stay adjacent (use ``regularize`` then:
-        # the exactly-duplicated joint system is singular)
-        t_all = jnp.concatenate([st.t, xs])
-        order = jnp.argsort(t_all, stable=True)
-        t_u = t_all[order]
-        inv = jnp.argsort(order, stable=True)
-        pos_train, pos_test = inv[:N], inv[N:]
-        diag_u = jnp.zeros_like(t_u)
-        if regularize is not None:
-            diag_u = diag_u + regularize
-        c, a, U, V = kernel.get_celerite_matrices(t_u, diag_u)
-        d_u, W_u = ops.factor(t_u, c, a, U, V)
-
-        # f ~ N(0, K_joint) via the O(N+M) semiseparable factor
-        zf = z.reshape(-1, N + M).T
-        safe_d = jnp.where(d_u > 0, d_u, jnp.zeros_like(d_u))
-        f = jnp.sqrt(safe_d)[:, None] * zf
-        f = f + ops.matmul_lower(t_u, c, U, W_u, f)
-        f_all = f.T.reshape(z.shape)
-        f_train = f_all[..., pos_train]
-        f_test = f_all[..., pos_test]
-
-        # correction: K(xs, t) (K_tt + Sigma)^{-1} (y - m - f - eps)
-        noise = eps * jnp.sqrt(st.diag)
-        resid = (self.y - st.mean_value) - f_train - noise
-        alpha = self.gp.apply_inverse(
-            jnp.moveaxis(resid.reshape(-1, N), 0, 1)
-        )
-        corr = self._do_dot(alpha)
-        samp = f_test + jnp.moveaxis(corr, 0, -1).reshape(
-            eps.shape[:-1] + (M,)
+        samp = _pathwise_core(
+            self.gp._state, kernel, self.y, self._xs, z, eps,
+            regularize=regularize,
         )
         if self.include_mean:
-            samp = samp + self.gp._mean(xs)
+            samp = samp + self.gp._mean(self._xs)
         return samp
 
     def sample_pathwise(self, key, *, shape=(), regularize=None):

@@ -283,7 +283,9 @@ def general_matmul_lower(t1, t2, c, U, V, Y):
     idx = jnp.searchsorted(t2, t1, side="right") - 1
     has_src = idx >= 0
     idx_c = jnp.clip(idx, 0, t2.shape[0] - 1)
-    decay = jnp.exp(-c[None, :] * (t1 - t2[idx_c])[:, None])  # (N, J)
+    # jnp gather: t2 may be a numpy literal while idx_c is traced
+    t2_g = jnp.asarray(t2)[idx_c]
+    decay = jnp.exp(-c[None, :] * (t1 - t2_g)[:, None])  # (N, J)
     Fg = F[idx_c]  # (N, J, K)
     Z = jnp.einsum("nj,njk->nk", U * decay, Fg)
     return jnp.where(has_src[:, None], Z, jnp.zeros_like(Z))
@@ -301,7 +303,8 @@ def general_matmul_upper(t1, t2, c, U, V, Y):
     idx = jnp.searchsorted(t2, t1, side="right")
     has_src = idx < t2.shape[0]
     idx_c = jnp.clip(idx, 0, t2.shape[0] - 1)
-    decay = jnp.exp(-c[None, :] * (t2[idx_c] - t1)[:, None])
+    t2_g = jnp.asarray(t2)[idx_c]
+    decay = jnp.exp(-c[None, :] * (t2_g - t1)[:, None])
     Fg = F[idx_c]
     Z = jnp.einsum("nj,njk->nk", U * decay, Fg)
     return jnp.where(has_src[:, None], Z, jnp.zeros_like(Z))

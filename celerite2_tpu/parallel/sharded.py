@@ -70,6 +70,7 @@ __all__ = [
     "sharded_general_matmul_lower",
     "sharded_general_matmul_upper",
     "sharded_conditional_variance",
+    "sharded_conditional_covariance",
     "make_sharded_logdensity",
     "sharded_sample_conditional",
     "make_sharded_conditional_sampler",
@@ -705,6 +706,32 @@ def sharded_conditional_variance(
     )
     return k0 - lax.psum(
         jnp.sum(KxsT_local * Kinv_KxsT, axis=0), axis_name
+    )
+
+
+def sharded_conditional_covariance(
+    t, c, a, U, V, KxsT_local, Kss, *, axis_name="seq"
+):
+    """Full conditional predictive covariance with the length-N axis
+    sharded (dense-M counterpart of :func:`sharded_conditional_variance`;
+    reference core.py:142-150 has no sharding story).
+
+    ``KxsT_local (B, M)`` are this shard's rows of the N x M
+    cross-covariance; ``Kss (M, M)`` is the replicated target prior
+    covariance.  The M right-hand sides run through the matrix-RHS
+    sharded solves and one psum reduces the rank-B contractions::
+
+        cov = Kss - sum_n KxsT[n, :] (K^{-1} KxsT)[n, :]^T
+
+    Returns the replicated (M, M) covariance.  O(M^2) output memory is
+    inherent to the dense conditional; the O(N M) work is what shards.
+    """
+    d, W, _ = sharded_factor(t, c, a, U, V, axis_name=axis_name)
+    Kinv_KxsT = sharded_apply_inverse(
+        t, c, U, W, d, KxsT_local, axis_name=axis_name
+    )
+    return Kss - lax.psum(
+        KxsT_local.T @ Kinv_KxsT, axis_name
     )
 
 

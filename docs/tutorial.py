@@ -127,6 +127,14 @@ kernel2 = terms.SHOTerm(
 mu2 = gp.predict(y, t=true_t, kernel=kernel2)
 print("component mean range: ", float(mu2.min()), float(mu2.max()))
 
+# posterior-predictive draws WITHOUT the M x M Cholesky: pathwise
+# (Matheron) conditioning samples the joint latent prior with the
+# O(N+M) semiseparable factor and corrects it through the training
+# solve — exact, and it scales to sampling entire light curves
+cond = gp.condition(y, t=true_t)
+draws = cond.sample_pathwise(jax.random.PRNGKey(7), shape=(4,))
+print("pathwise draws:", draws.shape)
+
 keys, bibtex = gp.citations
 print("cite:", ", ".join(keys))
 

@@ -268,3 +268,28 @@ def test_pathwise_conditional_shapes_and_dup_times(data, kernel):
     sub = gp.condition(y, t=t_new, kernel=gp.kernel.terms[0])
     with pytest.raises(NotImplementedError):
         sub.sample_pathwise(jax.random.PRNGKey(4))
+
+
+def test_gp_sample_conditional_functional_vmap(data, kernel):
+    """The functional pathwise sampler vmaps over a posterior fleet
+    (theta draws) as one program, matching per-theta calls."""
+    from celerite2_tpu.gp import gp_sample_conditional
+
+    t, yerr, y = data
+    t_new = np.linspace(0.0, 10.0, 9)
+
+    def draw(theta, key):
+        k = terms.SHOTerm(sigma=theta[0], rho=theta[1], tau=theta[2])
+        st = gp_compute(k, t, yerr=yerr)
+        return gp_sample_conditional(st, k, y, t_new, key, mean=0.3)
+
+    thetas = jnp.asarray([[1.0, 3.0, 2.0], [1.4, 4.5, 2.8]])
+    keys = jax.random.split(jax.random.PRNGKey(9), 2)
+    batched = jax.jit(jax.vmap(draw))(thetas, keys)
+    assert batched.shape == (2, 9)
+    for i in range(2):
+        single = draw(thetas[i], keys[i])
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single),
+            rtol=1e-6, atol=1e-9,
+        )

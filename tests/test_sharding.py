@@ -552,12 +552,14 @@ def test_sharded_predict_mean_at_new_points(mesh_seq):
     np.testing.assert_allclose(mu, mu_ref, rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_pathwise_sample_matches_single_chip(mesh_seq):
     """sharded_sample_conditional with pinned noise reproduces the
     single-chip pathwise transform exactly (same affine map, split
-    across the mesh)."""
+    across the mesh).  Compile-heavy (~4 min: two sharded factors +
+    solves + general matmuls in one shard_map program) -> slow tier;
+    test_make_sharded_conditional_sampler keeps fast-tier coverage."""
     from celerite2_tpu import GaussianProcess
-    from celerite2_tpu.parallel import make_sharded_conditional_sampler
     from celerite2_tpu.parallel import sharded as sh
     from jax import shard_map
     from functools import partial
@@ -653,3 +655,42 @@ def test_make_sharded_conditional_sampler(mesh_seq):
         emp_cov, np.asarray(cond.covariance),
         atol=5.0 * float(sd.max() ** 2) / 20.0 + 1e-3,
     )
+
+
+def test_sharded_conditional_covariance_matches(mesh_seq):
+    """Sharded full predictive covariance vs the single-device
+    ConditionalDistribution."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.parallel import sharded as sh
+
+    t, yerr, y = _data(128)
+    kernel = terms.SHOTerm(sigma=1.2, rho=4.0, tau=3.0)
+    t_new = np.linspace(2, 18, 17)
+
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    cov_ref = np.asarray(gp.condition(y, t=t_new).covariance)
+
+    c, a, U, V = (
+        jnp.asarray(np.asarray(x))
+        for x in kernel.get_celerite_matrices(t, yerr**2)
+    )
+    KxsT = jnp.asarray(
+        np.asarray(kernel.get_value(t[:, None] - t_new[None, :]))
+    )
+    Kss = jnp.asarray(
+        np.asarray(kernel.get_value(t_new[:, None] - t_new[None, :]))
+    )
+
+    seq = P("seq")
+    fn = jax.jit(
+        jax.shard_map(
+            lambda tl, cl, al, Ul, Vl, Kl, Ks: sh.sharded_conditional_covariance(
+                tl, cl, al, Ul, Vl, Kl, Ks
+            ),
+            mesh=mesh_seq,
+            in_specs=(seq, P(), seq, seq, seq, P("seq", None), P()),
+            out_specs=P(),
+        )
+    )
+    cov = fn(jnp.asarray(t), c, a, U, V, KxsT, Kss)
+    np.testing.assert_allclose(cov, cov_ref, rtol=1e-6, atol=1e-8)

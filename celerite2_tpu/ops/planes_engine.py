@@ -23,7 +23,8 @@ so they batch for free).  Exposed through ``jax.custom_batching
 .custom_vmap`` so ``vmap(gp_loglik)`` folds chains into the kernel's
 lane axis instead of relying on pallas auto-batching around the
 sequential scratch carry.  (Only ONE vmap level is intercepted;
-doubly-vmapped calls fall back to pallas auto-batching — untested.)
+doubly-vmapped calls fall back to pallas auto-batching —
+parity-pinned by tests/test_planes.py::test_doubly_vmapped_factor_parity.)
 
 The first Pallas attempt (``ops/pallas_engine.py``, deleted in round 3)
 lost because its in-kernel contraction used single-sublane row ops

@@ -311,3 +311,35 @@ def test_sharded_solve_predict_planes_parity(planes_on):
     np.testing.assert_allclose(
         np.asarray(m1), np.asarray(m0), rtol=1e-9, atol=1e-12
     )
+
+
+def test_doubly_vmapped_factor_parity(planes_on):
+    """Two nested vmap levels: the custom_vmap rule folds the first;
+    the second falls back to pallas auto-batching (interpret mode on
+    CPU).  Parity vs the generic engine closes the documented hole in
+    planes_engine.py ('doubly-vmapped ... untested')."""
+    rng = np.random.default_rng(17)
+    N, C1, C2 = 40, 2, 3
+    t = np.sort(rng.uniform(0, 10, N))
+    thetas = jnp.asarray(rng.uniform(0.9, 3.0, size=(C1, C2, 3)))
+
+    def factor(theta):
+        kernel = terms.SHOTerm(
+            sigma=theta[0], rho=theta[1], tau=theta[2]
+        )
+        c, a, U, V = kernel.get_celerite_matrices(
+            jnp.asarray(t), jnp.full(N, 0.04)
+        )
+        d, W, _ = assoc.factor_assoc(jnp.asarray(t), c, a, U, V)
+        return d, W
+
+    set_config(planes="off")
+    d0, W0 = jax.vmap(jax.vmap(factor))(thetas)
+    set_config(planes="on")
+    d1, W1 = jax.vmap(jax.vmap(factor))(thetas)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d0), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(W1), np.asarray(W0), rtol=1e-8, atol=1e-11
+    )

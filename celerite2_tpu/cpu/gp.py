@@ -202,9 +202,72 @@ class NumpyGaussianProcess:
 
     def condition(self, *args, **kwargs):
         raise NotImplementedError(
-            "use predict(...) on the eager CPU backend, or the JAX "
-            "GaussianProcess for the full conditional-distribution API"
+            "use predict(...) / sample_conditional(...) on the eager "
+            "CPU backend, or the JAX GaussianProcess for the full "
+            "conditional-distribution API"
         )
+
+    def sample_conditional(self, y, t=None, *, size=None, rng=None,
+                           include_mean=True, regularize=None):
+        """Exact conditional samples at ``t`` via pathwise (Matheron)
+        conditioning through the C driver — O(N + M) per draw, no
+        dense M x M Cholesky (role of reference core.py:152-179;
+        same construction as the JAX ``sample_pathwise``).
+
+        ``regularize`` jitters the joint prior diagonal; required when
+        ``t`` duplicates training times (incl. ``t=None``), where the
+        exactly-duplicated joint system is singular.  Eager error
+        contract: a non-PD joint system raises ``LinAlgError``.
+        """
+        self._require()
+        y = self._check_input(y, vector=True)
+        rng = np.random.default_rng() if rng is None else rng
+        xs = self._t if t is None else _np(t)
+        N, M = len(self._t), len(xs)
+
+        # sorted union; stable order keeps duplicates adjacent
+        t_all = np.concatenate([self._t, xs])
+        order = np.argsort(t_all, kind="stable")
+        inv = np.argsort(order, kind="stable")
+        t_u = t_all[order]
+        pos_train, pos_test = inv[:N], inv[N:]
+        diag_u = np.zeros_like(t_u)
+        if regularize is not None:
+            diag_u += regularize
+        c, a, U, V = (
+            _np(x)
+            for x in self.kernel.get_celerite_matrices(t_u, diag_u)
+        )
+        d_u, W_u = driver.factor(t_u, c, a, U, V)
+
+        # joint latent prior draw(s) f ~ N(0, K_joint)
+        S = 1 if size is None else int(size)
+        z = rng.standard_normal((N + M, S))
+        f = np.sqrt(d_u)[:, None] * z
+        f = f + driver.matmul_lower(t_u, c, U, W_u, f)
+        f_train, f_test = f[pos_train], f[pos_test]
+
+        # correction through the training factorization
+        eps = rng.standard_normal((N, S)) * np.sqrt(self._diag)[:, None]
+        resid = (y - self._mean_value)[:, None] - f_train - eps
+        alpha = self.apply_inverse(resid)
+        zero1 = np.zeros_like(self._t)
+        zero2 = np.zeros_like(xs)
+        c2, _, U1, V1 = (
+            _np(x)
+            for x in self.kernel.get_celerite_matrices(self._t, zero1)
+        )
+        _, _, U2, V2 = (
+            _np(x)
+            for x in self.kernel.get_celerite_matrices(xs, zero2)
+        )
+        corr = driver.general_matmul_lower(
+            xs, self._t, c2, U2, V1, alpha
+        ) + driver.general_matmul_upper(xs, self._t, c2, V2, U1, alpha)
+        samp = f_test + corr
+        if include_mean:
+            samp = samp + _np(self.mean(xs))[:, None]
+        return samp[:, 0] if size is None else samp.T
 
     # ------------------------------------------------------ sampling
     def sample(self, *, size=None, rng=None, include_mean=True):

@@ -195,3 +195,50 @@ def test_numpy_gp_convolution_override():
     np.testing.assert_allclose(
         gp.log_likelihood(y), float(ref.log_likelihood(y)), rtol=1e-10
     )
+
+
+def test_numpy_gp_sample_conditional_moments():
+    """Pathwise conditional sampling on the eager CPU backend: exact
+    construction checked by moment-matching the dense conditional."""
+    from celerite2_tpu import terms
+
+    rng = np.random.default_rng(31)
+    N, M = 64, 7
+    t = np.sort(rng.uniform(0, 10, N))
+    yerr = np.full(N, 0.25)
+    y = np.sin(t) + yerr * rng.normal(size=N)
+    t_new = np.linspace(1.0, 9.0, M)
+
+    kernel = terms.SHOTerm(sigma=1.1, rho=3.3, tau=2.2)
+    gp = cpu.NumpyGaussianProcess(kernel, t=t, yerr=yerr, mean=0.4)
+
+    samps = gp.sample_conditional(
+        y, t=t_new, size=4000, rng=np.random.default_rng(5)
+    )
+    assert samps.shape == (4000, M)
+
+    # dense conditional moments (oracle)
+    K = np.asarray(kernel.to_dense(t, yerr**2))
+    Ks = np.asarray(kernel.get_value(t_new[:, None] - t[None, :]))
+    Kss = np.asarray(kernel.get_value(t_new[:, None] - t_new[None, :]))
+    alpha = np.linalg.solve(K, y - 0.4)
+    mu = Ks @ alpha + 0.4
+    cov = Kss - Ks @ np.linalg.solve(K, Ks.T)
+
+    sd = np.sqrt(np.diag(cov))
+    np.testing.assert_allclose(
+        samps.mean(axis=0), mu, atol=4.5 * sd.max() / np.sqrt(4000)
+    )
+    np.testing.assert_allclose(
+        np.cov(samps.T), cov, atol=6.0 * float(sd.max() ** 2) / 60.0
+    )
+
+    # vector (size=None) shape + duplicated-times contract
+    s1 = gp.sample_conditional(y, t=t_new, rng=np.random.default_rng(6))
+    assert s1.shape == (M,)
+    with pytest.raises(LinAlgError):
+        gp.sample_conditional(y)  # t=None duplicates every time
+    s2 = gp.sample_conditional(
+        y, regularize=1e-8, rng=np.random.default_rng(7)
+    )
+    assert s2.shape == (N,) and np.all(np.isfinite(s2))

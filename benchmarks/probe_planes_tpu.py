@@ -60,14 +60,20 @@ def main(N=100_000, J=2, chain=100):
     args = (theta, t, yerr, y)
     prior = get_config()
     out = {}
-    for mode in ("off", "on"):
-        set_config(planes=mode, backend="assoc")
+    # (off, fused) was measured neutral-to-slower on the generic engine
+    # in round 2 (CLAUDE.md ledger); on planes, fusing factor+solve
+    # saves one whole level-0 kernel pass (~40-55 us derived,
+    # ANALYSIS_planes.md), so it gets its own arm here.
+    modes = [("off", False), ("on", False), ("on", True)]
+    for mode, fused in modes:
+        key = f"planes={mode},fused={fused}"
+        set_config(planes=mode, backend="assoc", fused_forward=fused)
         try:
             fn = jax.jit(many)
             t0 = time.time()
             v = jax.block_until_ready(fn(*args))
             print(
-                f"planes={mode}: compile+first {time.time() - t0:.0f}s",
+                f"{key}: compile+first {time.time() - t0:.0f}s",
                 flush=True,
             )
             best = float("inf")
@@ -75,19 +81,22 @@ def main(N=100_000, J=2, chain=100):
                 t0 = time.perf_counter()
                 v = jax.block_until_ready(fn(*args))
                 best = min(best, time.perf_counter() - t0)
-            out[mode] = (best / chain, float(v))
+            out[(mode, fused)] = (best / chain, float(v))
             print(
-                f"planes={mode}: {best / chain * 1e3:.3f} ms/eval"
+                f"{key}: {best / chain * 1e3:.3f} ms/eval"
                 f"  loglik={float(v):.6f}",
                 flush=True,
             )
         finally:
             set_config(**prior.__dict__)
-    rel = abs(out["on"][1] - out["off"][1]) / max(1.0, abs(out["off"][1]))
-    print(
-        f"agreement rel={rel:.2e}  speedup={out['off'][0] / out['on'][0]:.2f}x",
-        flush=True,
-    )
+    base = out[("off", False)]
+    for mode, fused in modes[1:]:
+        rel = abs(out[(mode, fused)][1] - base[1]) / max(1.0, abs(base[1]))
+        print(
+            f"planes={mode},fused={fused}: agreement rel={rel:.2e}"
+            f"  speedup={base[0] / out[(mode, fused)][0]:.2f}x",
+            flush=True,
+        )
 
 
 def main_fleet(N=30_000, C=32, chain=100):
@@ -163,6 +172,11 @@ def main_fleet(N=30_000, C=32, chain=100):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
+    if "--cpu" in a:
+        # smoke-test mode: force XLA:CPU (planes runs in interpret
+        # mode); timings are then meaningless, only parity matters
+        a.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
     if a and a[0] == "fleet":
         main_fleet(
             int(float(a[1])) if len(a) > 1 else 30_000,

@@ -41,10 +41,15 @@ def make_fn(backend, chain_len):
     from celerite2_tpu import set_config, terms
     from celerite2_tpu.gp import gp_loglik
 
+    # backend routing is read at TRACE time and participates in the
+    # jit cache key (config fingerprint) — set it OUTSIDE the traced
+    # function, or the fingerprint flip mid-trace forces a retrace on
+    # the next call (i.e. inside the timed region)
+    set_config(backend=backend)
+
     # data flows through ARGUMENTS, never closures: the axon TPU
     # runtime re-uploads closure device constants every call (~40ms)
     def ll(theta, t, yerr, y):
-        set_config(backend=backend)
         kernel = terms.SHOTerm(
             sigma=jnp.exp(theta[0]),
             rho=jnp.exp(theta[1]),
@@ -64,13 +69,14 @@ def make_fn(backend, chain_len):
 
 
 def time_fn(fn, args, chain_len, *, reps, warmup=1):
+    # np.asarray = host transfer of the scalar result:
+    # block_until_ready alone is not a reliable barrier through the
+    # axon tunnel (measured round 4: a N=1e6 chain "finished" in 26 us)
     for _ in range(warmup):
-        v = fn(*args)
-        jax.block_until_ready(v)
+        v = np.asarray(jax.block_until_ready(fn(*args)))
     start = time.perf_counter()
     for _ in range(reps):
-        v = fn(*args)
-        jax.block_until_ready(v)
+        v = np.asarray(jax.block_until_ready(fn(*args)))
     dt = (time.perf_counter() - start) / (reps * chain_len)
     return dt, float(v)
 

@@ -30,14 +30,21 @@ import jax.numpy as jnp
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _sync(v):
+    # block_until_ready is not a reliable barrier through the axon
+    # tunnel (round-4 measurement: a 20-eval N=1e6 chain "completed"
+    # in 26 us); a host transfer of the (scalar) result is.
+    return np.asarray(jax.block_until_ready(v))
+
+
 def _timer(fn, *args, reps=5):
     v = fn(*args)
-    jax.block_until_ready(v)
+    _sync(v)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         v = fn(*args)
-        jax.block_until_ready(v)
+        _sync(v)
         best = min(best, time.perf_counter() - t0)
     return best, v
 

@@ -79,7 +79,9 @@ def main(N=100_000, J=2, chain=100):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                v = jax.block_until_ready(fn(*args))
+                # host transfer: block_until_ready alone is not a
+                # reliable barrier through the axon tunnel
+                v = np.asarray(jax.block_until_ready(fn(*args)))
                 best = min(best, time.perf_counter() - t0)
             out[(mode, fused)] = (best / chain, float(v))
             print(
@@ -152,9 +154,9 @@ def main_fleet(N=30_000, C=32, chain=100):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                v = jax.block_until_ready(fn(*args))
+                v = np.asarray(jax.block_until_ready(fn(*args)))
                 best = min(best, time.perf_counter() - t0)
-            out[mode] = (best / chain, float(np.sum(np.asarray(v))))
+            out[mode] = (best / chain, float(np.sum(v)))
             print(
                 f"fleet planes={mode}: {best / chain * 1e3:.3f} ms/fleet-eval"
                 f"  (C={C})  sum_ll={out[mode][1]:.4f}",

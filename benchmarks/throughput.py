@@ -28,8 +28,11 @@ def make_eval(backend):
     from celerite2_tpu import set_config, terms
     from celerite2_tpu.gp import gp_compute, gp_log_likelihood
 
+    # outside the traced fn: the config fingerprint is part of the jit
+    # cache key, so flipping it mid-trace would force a later retrace
+    set_config(backend=backend)
+
     def ll(theta, t, yerr, y):
-        set_config(backend=backend)
         kernel = terms.SHOTerm(
             sigma=jnp.exp(theta[0]),
             rho=jnp.exp(theta[1]),

@@ -117,14 +117,58 @@ class Config:
 _config = Config()
 
 
+def _register_trace_state():
+    """Register the config fingerprint in JAX's trace context.
+
+    JAX's jit trace cache is keyed by function identity + the trace
+    context; this library's config is read at TRACE time (tier
+    routing, engine choices), so without this hook a ``set_config``
+    after a function was first jitted would silently reuse the stale
+    trace — measured in round 4: re-jitting the same callable after
+    ``set_config(planes='on')`` returned the planes-off executable
+    with 0 s "compile".  Registering a state with
+    ``include_in_jit_key``/``include_in_trace_context`` makes every
+    config change part of the cache key, so traces under different
+    configs coexist (no cache clearing) and lookups always match the
+    live config.
+    """
+    try:
+        from jax._src import config as _jcfg
+
+        name = "celerite2_tpu_config_fingerprint"
+        if name in _jcfg.config_states:
+            return _jcfg.config_states[name]
+        return _jcfg.State(
+            name,
+            repr(_config),
+            "celerite2_tpu config fingerprint (participates in the "
+            "jit trace-cache key so set_config() invalidates stale "
+            "traces)",
+            include_in_jit_key=True,
+            include_in_trace_context=True,
+        )
+    except Exception:  # pragma: no cover - private-API drift fallback
+        return None
+
+
+_trace_state = _register_trace_state()
+
+
 def get_config() -> Config:
     return _config
 
 
 def set_config(**kwargs) -> Config:
-    """Replace fields of the global config; returns the new config."""
+    """Replace fields of the global config; returns the new config.
+
+    The new fingerprint enters JAX's trace-cache key, so jitted
+    functions traced under a previous config retrace (once per
+    distinct config) instead of silently reusing stale routing.
+    """
     global _config
     _config = dataclasses.replace(_config, **kwargs)
+    if _trace_state is not None:
+        _trace_state.set_global(repr(_config))
     return _config
 
 

@@ -343,12 +343,81 @@ def _cross_dot(kernel, t_train, xs, inp):
     return z[:, 0] if is_vec else z
 
 
-def _pathwise_core(state, kernel, y, xs, z, eps, *, regularize=None):
+def _complement_kernel(full, component):
+    """The kernel ``full - component`` when it is derivable: ``full``
+    must be a :class:`~celerite2_tpu.models.terms.TermSum` containing
+    ``component`` (by identity) as one of its summands, possibly
+    nested.  Used by the component pathwise conditional, which needs an
+    independent draw from the *rest* of the kernel (the reference's
+    dense path, core.py:74-113, never needs this because it
+    materializes the M x M covariance).
+    """
+    from celerite2_tpu.models.terms import TermSum
+
+    if component is full:
+        return None
+    if not isinstance(full, TermSum):
+        raise ValueError(
+            "pathwise component conditionals need the complement kernel "
+            "(full - kernel); it is derived automatically only when the "
+            "GP kernel is a sum containing `kernel` as a summand — pass "
+            "complement= explicitly otherwise"
+        )
+    rest = []
+    found = 0
+    for sub in full.terms:
+        if sub is component:
+            found += 1
+        elif isinstance(sub, TermSum) and component in _flat_terms(sub):
+            inner = _complement_kernel(sub, component)
+            if inner is not None:
+                rest.append(inner)
+            found += 1
+        else:
+            rest.append(sub)
+    if found != 1:
+        raise ValueError(
+            "could not uniquely identify `kernel` as a summand of the "
+            "GP kernel; pass complement= explicitly"
+        )
+    if not rest:
+        raise ValueError(
+            "`kernel` IS the full kernel; drop kernel= for the "
+            "full-kernel conditional"
+        )
+    return rest[0] if len(rest) == 1 else TermSum(*rest)
+
+
+def _flat_terms(term):
+    from celerite2_tpu.models.terms import TermSum
+
+    if isinstance(term, TermSum):
+        out = []
+        for sub in term.terms:
+            out.extend(_flat_terms(sub))
+        return out
+    return [term]
+
+
+def _pathwise_core(state, kernel, y, xs, z, eps, *, regularize=None,
+                   complement=None, z_comp=None):
     """Pathwise (Matheron) conditional draws as a pure function of the
     noise: ``f* + K(xs, t) (K_tt + S)^{-1} (y - m - f_t - e)`` with
     ``(f_t, f*)`` one joint latent prior draw over the sorted union of
     training and target times (O((N+M) J^2) semiseparable factor) and
     ``e = sqrt(diag) * eps``.  Mean at ``xs`` NOT included.
+
+    Component conditionals (``complement is not None``): ``kernel`` is
+    the component K1 and ``complement`` the remaining kernel K2 with
+    K_full = K1 + K2.  The joint K1-prior supplies ``(g_t, g*)``; an
+    independent draw ``h_t ~ N(0, K2(t,t))`` (from ``z_comp``, via the
+    O(N J2^2) semiseparable factor at the training points) completes
+    the training-side latent so that ``g_t + h_t + e`` has the full
+    covariance ``K_tt + S`` while ``Cov(g*, g_t + h_t) = K1(xs, t)``
+    — exactly the cross-covariance the component conditional needs.
+    The output law is N(K1(xs,t) (K+S)^{-1} (y-m),
+    K1(xs,xs) - K1(xs,t) (K+S)^{-1} K1(t,xs)), the same as the dense
+    component conditional (reference core.py:74-113).
     """
     N = state.t.shape[0]
     M = xs.shape[0]
@@ -377,6 +446,20 @@ def _pathwise_core(state, kernel, y, xs, z, eps, *, regularize=None):
     f_train = f_all[..., pos_train]
     f_test = f_all[..., pos_test]
 
+    if complement is not None:
+        # independent complement draw h ~ N(0, K2(t, t)) at the
+        # training points completes the full training-side latent
+        diag_c = jnp.zeros_like(state.t)
+        if regularize is not None:
+            diag_c = diag_c + regularize
+        c2, a2, U2, V2 = complement.get_celerite_matrices(state.t, diag_c)
+        d2, W2 = ops.factor(state.t, c2, a2, U2, V2)
+        zc = z_comp.reshape(-1, N).T
+        safe_d2 = jnp.where(d2 > 0, d2, jnp.zeros_like(d2))
+        h = jnp.sqrt(safe_d2)[:, None] * zc
+        h = h + ops.matmul_lower(state.t, c2, U2, W2, h)
+        f_train = f_train + h.T.reshape(z_comp.shape)
+
     # correction: K(xs, t) (K_tt + Sigma)^{-1} (y - m - f - eps)
     noise = eps * jnp.sqrt(state.diag)
     resid = (y - state.mean_value) - f_train - noise
@@ -390,7 +473,7 @@ def _pathwise_core(state, kernel, y, xs, z, eps, *, regularize=None):
 
 
 def gp_sample_conditional(state, kernel, y, t_new, key, *, shape=(),
-                          mean=0.0, regularize=None):
+                          mean=0.0, regularize=None, complement=None):
     """Exact conditional samples at ``t_new`` — functional core of
     :meth:`ConditionalDistribution.sample_pathwise` (pathwise/Matheron
     conditioning, O(N+M) per draw, no dense Cholesky).
@@ -404,16 +487,24 @@ def gp_sample_conditional(state, kernel, y, t_new, key, *, shape=(),
     ``t_new`` (the training mean is already in ``state.mean_value``).
     ``regularize`` jitters the joint prior diagonal — required when
     ``t_new`` duplicates training times.
+
+    Component conditionals: pass the component as ``kernel`` and the
+    remaining kernel (full minus component) as ``complement``; the law
+    is then the component conditional (cf. reference core.py:74-113).
     """
     t_new = _atleast_1d(t_new)
     y = _asarr(y)
     N = state.t.shape[0]
     M = t_new.shape[0]
-    kz, ke = jax.random.split(key)
+    kz, kc, ke = jax.random.split(key, 3)
     z = jax.random.normal(kz, shape + (N + M,), dtype=state.t.dtype)
     eps = jax.random.normal(ke, shape + (N,), dtype=state.t.dtype)
+    z_comp = None
+    if complement is not None:
+        z_comp = jax.random.normal(kc, shape + (N,), dtype=state.t.dtype)
     samp = _pathwise_core(
-        state, kernel, y, t_new, z, eps, regularize=regularize
+        state, kernel, y, t_new, z, eps, regularize=regularize,
+        complement=complement, z_comp=z_comp,
     )
     mean_fn = mean if callable(mean) else ConstantMean(mean)
     return samp + jnp.broadcast_to(_asarr(mean_fn(t_new)), (M,))
@@ -511,26 +602,32 @@ class ConditionalDistribution:
         return mu + jnp.einsum("ij,...j->...i", chol, z)
 
     # -------------------------------------------- pathwise sampling
-    def _pathwise_transform(self, z, eps, *, regularize=None):
+    def _pathwise_transform(self, z, eps, *, regularize=None,
+                            z_comp=None, complement=None):
         """The affine map behind :meth:`sample_pathwise`.
 
         ``z (..., N+M)`` standard normals for the joint latent prior,
-        ``eps (..., N)`` standard normals for the observation noise.
-        Returns conditional samples ``(..., M)``.  Exposed separately
-        so tests can verify the *exact* second moment: the map is
-        affine in ``(z, eps)``, and its Jacobian ``A`` must satisfy
-        ``A A^T == covariance`` (no Monte Carlo error involved).
+        ``eps (..., N)`` standard normals for the observation noise
+        (plus ``z_comp (..., N)`` for the complement draw on component
+        conditionals).  Returns conditional samples ``(..., M)``.
+        Exposed separately so tests can verify the *exact* second
+        moment: the map is affine in ``(z, z_comp, eps)``, and its
+        Jacobian ``A`` must satisfy ``A A^T == covariance`` (no Monte
+        Carlo error involved).
         """
         kernel = self.kernel or self.gp.kernel
+        if self.kernel is not None and complement is None:
+            complement = _complement_kernel(self.gp.kernel, self.kernel)
         samp = _pathwise_core(
             self.gp._state, kernel, self.y, self._xs, z, eps,
-            regularize=regularize,
+            regularize=regularize, complement=complement, z_comp=z_comp,
         )
         if self.include_mean:
             samp = samp + self.gp._mean(self._xs)
         return samp
 
-    def sample_pathwise(self, key, *, shape=(), regularize=None):
+    def sample_pathwise(self, key, *, shape=(), regularize=None,
+                        complement=None):
         """Exact conditional sampling WITHOUT the M x M Cholesky.
 
         Pathwise (Matheron's rule) conditioning: draw the joint latent
@@ -551,22 +648,30 @@ class ConditionalDistribution:
 
         ``regularize`` adds a jitter to the *joint* prior diagonal;
         required when target points duplicate training times (the
-        joint system is singular there).  Component (``kernel=``)
-        conditionals are not supported — the joint latent draw is
-        defined for the full kernel only.
+        joint system is singular there).
+
+        Component (``kernel=``) conditionals draw the joint prior from
+        the component and an independent complement draw at the
+        training points (law matches the dense component conditional
+        exactly; see :func:`_pathwise_core`).  The complement kernel is
+        derived automatically when the GP kernel is a sum containing
+        the component as a summand; pass ``complement=`` otherwise.
         """
-        if self.kernel is not None:
-            raise NotImplementedError(
-                "pathwise sampling is defined for the full-kernel "
-                "conditional; use .sample() for kernel= components"
-            )
         st = self.gp._state
         N = st.t.shape[0]
         M = self._xs.shape[0]
-        kz, ke = jax.random.split(key)
+        if self.kernel is not None and complement is None:
+            complement = _complement_kernel(self.gp.kernel, self.kernel)
+        kz, kc, ke = jax.random.split(key, 3)
         z = jax.random.normal(kz, shape + (N + M,), dtype=st.t.dtype)
         eps = jax.random.normal(ke, shape + (N,), dtype=st.t.dtype)
-        return self._pathwise_transform(z, eps, regularize=regularize)
+        z_comp = None
+        if self.kernel is not None:
+            z_comp = jax.random.normal(kc, shape + (N,), dtype=st.t.dtype)
+        return self._pathwise_transform(
+            z, eps, regularize=regularize, z_comp=z_comp,
+            complement=complement,
+        )
 
 
 # ============================================================ the shell

@@ -121,3 +121,33 @@ def test_weight_matrix_rhs_paths():
     np.testing.assert_allclose(Z[:, 1], 0.5 * Z[:, 0], rtol=1e-8)
     L = np.asarray(gp.dot_tril(Y))
     assert L.shape == Y.shape
+
+
+def test_set_config_invalidates_jit_trace_cache():
+    """Round-4 regression: JAX's trace cache is keyed by function
+    identity, and this library's config is read at trace time — so
+    re-jitting the same callable after ``set_config`` must RETRACE
+    under the new config (the fingerprint participates in the trace
+    context), not silently reuse the stale executable (which is what
+    invalidated the round-3 planes A/B probe)."""
+    from celerite2_tpu.config import get_config, set_config
+
+    seen = []
+
+    def f(x):
+        seen.append(get_config().backend)
+        return x + 1
+
+    prior = get_config()
+    try:
+        set_config(backend="scan")
+        jax.jit(f)(1.0)
+        set_config(backend="assoc")
+        jax.jit(f)(1.0)
+        # flipping back must not retrace a third time (both traces
+        # coexist in the cache under their own fingerprints)
+        set_config(backend="scan")
+        jax.jit(f)(1.0)
+    finally:
+        set_config(**prior.__dict__)
+    assert seen == ["scan", "assoc"]

@@ -264,10 +264,59 @@ def test_pathwise_conditional_shapes_and_dup_times(data, kernel):
     )
     assert s.shape == (6, len(t_new))
     assert np.all(np.isfinite(np.asarray(s)))
-    # kernel= component conditionals are out of scope
+
+
+def test_pathwise_component_conditional_exact_moments(data, kernel):
+    """kernel= component pathwise draws have EXACTLY the dense
+    component conditional's law (reference core.py:74-113 semantics):
+    the map is affine in (z_joint, z_comp, eps), so mean and implied
+    covariance are checked with no Monte Carlo tolerance."""
+    t, yerr, y = data
+    N = len(t)
+    M = 11
+    t_new = np.linspace(-0.5, 10.5, M)
+    gp = GaussianProcess(kernel, t=t, yerr=yerr, mean=0.7)
     sub = gp.condition(y, t=t_new, kernel=gp.kernel.terms[0])
-    with pytest.raises(NotImplementedError):
-        sub.sample_pathwise(jax.random.PRNGKey(4))
+
+    def samp(noise):
+        z = noise[: N + M]
+        zc = noise[N + M : 2 * N + M]
+        eps = noise[2 * N + M :]
+        return sub._pathwise_transform(z, eps, z_comp=zc)
+
+    zero = jnp.zeros(3 * N + M)  # (N+M) joint + N complement + N noise
+    mu = samp(zero)
+    np.testing.assert_allclose(
+        np.asarray(mu), np.asarray(sub.mean), rtol=1e-7, atol=1e-9
+    )
+    A = jax.jacrev(samp)(zero)
+    cov_implied = np.asarray(A @ A.T)
+    np.testing.assert_allclose(
+        cov_implied, np.asarray(sub.covariance), rtol=1e-6, atol=1e-8
+    )
+    # end-to-end draw path (keyed API, derived complement)
+    s = sub.sample_pathwise(jax.random.PRNGKey(4), shape=(5,))
+    assert s.shape == (5, M)
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_pathwise_component_complement_derivation(data, kernel):
+    from celerite2_tpu.gp import _complement_kernel
+
+    t, yerr, y = data
+    gp = GaussianProcess(kernel, t=t, yerr=yerr)
+    comp = _complement_kernel(kernel, kernel.terms[1])
+    # complement of the second summand is the first one
+    tau = np.linspace(0, 3, 7)
+    np.testing.assert_allclose(
+        np.asarray(comp.get_value(tau)),
+        np.asarray(kernel.terms[0].get_value(tau)),
+    )
+    # a kernel that is not a summand cannot be complemented
+    stranger = terms.RealTerm(a=0.1, c=2.0)
+    cond = gp.condition(y, t=np.linspace(0, 10, 5), kernel=stranger)
+    with pytest.raises(ValueError, match="complement"):
+        cond.sample_pathwise(jax.random.PRNGKey(0))
 
 
 def test_gp_sample_conditional_functional_vmap(data, kernel):

@@ -107,6 +107,62 @@ def _upcast_kernel(kernel):
     return jax.tree_util.tree_map(_upcast, kernel)
 
 
+# --- island batching guard -------------------------------------------
+# The island does NOT survive jaxpr-level batching of control flow
+# around it (vmapped sampler while-loops): the batching rule re-binds
+# the island's f64 ops under the process's x64-off config and silently
+# truncates them, failing later with an unrelated dtype error.  This
+# sentinel identity primitive turns that into an immediate, actionable
+# error: its batching rule raises when invoked OUTSIDE an x64 context.
+# Python-level vmap (vmap(grad(...)) etc.) retraces the island's
+# callable inside `jax.enable_x64(True)`, so the rule passes there —
+# exactly the supported/unsupported split pinned in test_numerics.py.
+try:
+    from jax.extend.core import Primitive as _Primitive
+except ImportError:  # pragma: no cover - older jax layouts
+    from jax.core import Primitive as _Primitive
+
+from jax.interpreters import ad as _ad
+from jax.interpreters import batching as _batching
+from jax.interpreters import mlir as _mlir
+
+_island_guard_p = _Primitive("celerite2_f64_island_guard")
+_island_guard_p.def_impl(lambda x: x)
+_island_guard_p.def_abstract_eval(lambda x: x)
+_ad.deflinear2(_island_guard_p, lambda ct, x: [ct])
+_mlir.register_lowering(_island_guard_p, lambda ctx, x: [x])
+
+
+def _island_guard_batcher(args, dims):
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "the f64 island (config.core_dtype='float64') was batched "
+            "at the jaxpr level outside an x64 context — this happens "
+            "when lax control flow AROUND the island (e.g. a vmapped "
+            "NUTS/HMC chain while-loop) is vmapped, and would silently "
+            "truncate the island's f64 ops.  Scope the WHOLE call in "
+            "jax.enable_x64(True) instead (see config.core_dtype docs "
+            "and benchmarks/configs.py config4)."
+        )
+    (x,), (d,) = args, dims
+    return _island_guard_p.bind(x), d
+
+
+_batching.primitive_batchers[_island_guard_p] = _island_guard_batcher
+
+
+def _apply_island_guard(tree):
+    """Thread the first floating leaf through the sentinel primitive
+    (one guard poisons the whole jaxpr for illegal rebinding)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for i, leaf in enumerate(leaves):
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            leaves = list(leaves)
+            leaves[i] = _island_guard_p.bind(jnp.asarray(leaf))
+            break
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def _island_run(fn, out_dtype, *args):
     """Run ``fn(*args)`` with every floating leaf upcast to f64 under
     ``jax.enable_x64`` and results downcast to the inputs' dtype, on
@@ -134,6 +190,7 @@ def _island_run(fn, out_dtype, *args):
     """
     def inner(*a):
         a64 = jax.tree_util.tree_map(_upcast, a)
+        a64 = _apply_island_guard(a64)
         out = fn(*a64)
         return jax.tree_util.tree_map(
             lambda x: x.astype(out_dtype)

@@ -122,3 +122,132 @@ def test_gated_shell(problem):
     if not HAS_PYTENSOR:
         with pytest.raises(ImportError, match="inference"):
             op(1.5, 3.4, 2.345)
+
+
+# ------------------------------------------- marginal / conditional cores
+
+
+def test_marginal_core_logp_and_prior_draw_law(problem):
+    """MarginalCore: logp(value, *params) == gp_loglik, and the prior
+    sampler is affine in z with A A^T == the dense kernel matrix (the
+    exact law check, no Monte Carlo)."""
+    from celerite2_tpu.pymc_support import MarginalCore
+
+    t, yerr, y = problem
+    core = MarginalCore(make_kernel, t, yerr=yerr)
+    lp = core.logp.value(np.asarray(y), 1.5, 3.4, 2.345)
+    want = gp_loglik(
+        make_kernel(1.5, 3.4, 2.345), jnp.asarray(t), jnp.asarray(y),
+        yerr=jnp.asarray(yerr),
+    )
+    np.testing.assert_allclose(float(lp), float(want), rtol=1e-10)
+
+    params = tuple(map(jnp.asarray, (1.5, 3.4, 2.345)))
+    A = jax.jacrev(lambda z: core._draw(z[None, :], *params)[0])(
+        jnp.zeros(core.n)
+    )
+    K = make_kernel(*params).to_dense(jnp.asarray(t), jnp.asarray(yerr) ** 2)
+    np.testing.assert_allclose(
+        np.asarray(A @ A.T), np.asarray(K), rtol=1e-6, atol=1e-8
+    )
+
+    rng = np.random.default_rng(0)
+    d = core.prior_draws(rng, None, 1.5, 3.4, 2.345)
+    assert d.shape == (len(t),)
+    d2 = core.prior_draws(rng, (3, 2), 1.5, 3.4, 2.345)
+    assert d2.shape == (3, 2, len(t))
+    assert np.all(np.isfinite(d2))
+
+
+def test_conditional_moments_core_matches_condition(problem):
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.pymc_support import (
+        ConditionalMomentsCore,
+        perform_moments,
+        perform_moments_grad,
+    )
+
+    t, yerr, y = problem
+    t_new = np.linspace(-0.5, 10.5, 9)
+    core = ConditionalMomentsCore(
+        make_kernel, t, y, t_new=t_new, yerr=yerr, mean=0.4
+    )
+    mu, cov = core.values(1.5, 3.4, 2.345)
+    gp = GaussianProcess(
+        make_kernel(1.5, 3.4, 2.345), t=t, yerr=yerr, mean=0.4
+    )
+    cond = gp.condition(y, t=t_new)
+    np.testing.assert_allclose(mu, np.asarray(cond.mean), rtol=1e-6)
+    np.testing.assert_allclose(
+        cov, np.asarray(cond.covariance), rtol=1e-5, atol=1e-8
+    )
+
+    # VJP matches autodiff of a scalar functional of (mu, cov)
+    gmu = np.linspace(0.5, 1.0, core.m)
+    gcov = np.eye(core.m) * 0.1
+    got = core.vjp(gmu, gcov, 1.5, 3.4, 2.345)
+
+    def scalar(*ps):
+        m, c = core.fn(*ps)
+        return jnp.sum(m * gmu) + jnp.sum(c * gcov)
+
+    want = jax.grad(scalar, argnums=(0, 1, 2))(
+        *map(jnp.asarray, (1.5, 3.4, 2.345))
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=1e-5, atol=1e-8)
+
+    # perform plumbing (pytensor output-storage contract)
+    storage = [[None], [None]]
+    perform_moments(core, [np.float64(1.5), np.float64(3.4),
+                           np.float64(2.345)], storage)
+    assert storage[0][0].shape == (core.m,)
+    assert storage[1][0].shape == (core.m, core.m)
+    gstorage = [[None], [None], [None]]
+    perform_moments_grad(
+        core,
+        [gmu, gcov, np.float64(1.5), np.float64(3.4), np.float64(2.345)],
+        gstorage,
+    )
+    assert all(np.isfinite(s[0]) for s in gstorage)
+
+
+def test_conditional_moments_core_component(problem):
+    """component= selects a sub-kernel (the reference's kernel=)."""
+    from celerite2_tpu import GaussianProcess
+    from celerite2_tpu.pymc_support import ConditionalMomentsCore
+
+    t, yerr, y = problem
+
+    def mk(s1, r1, s2, c2):
+        return terms.SHOTerm(sigma=s1, rho=r1, tau=3.0) + terms.RealTerm(
+            a=s2, c=c2
+        )
+
+    t_new = np.linspace(0.0, 10.0, 7)
+    core = ConditionalMomentsCore(
+        mk, t, y, t_new=t_new, yerr=yerr,
+        component=lambda s1, r1, s2, c2: terms.SHOTerm(
+            sigma=s1, rho=r1, tau=3.0
+        ),
+        include_mean=False,
+    )
+    mu, cov = core.values(1.2, 2.5, 0.4, 0.9)
+    gp = GaussianProcess(mk(1.2, 2.5, 0.4, 0.9), t=t, yerr=yerr)
+    cond = gp.condition(
+        y, t=t_new, include_mean=False,
+        kernel=terms.SHOTerm(sigma=1.2, rho=2.5, tau=3.0),
+    )
+    np.testing.assert_allclose(mu, np.asarray(cond.mean), rtol=1e-6)
+    np.testing.assert_allclose(
+        cov, np.asarray(cond.covariance), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_vector_signature():
+    from celerite2_tpu.pymc_support import _vector_signature
+
+    assert _vector_signature((1.0, 2.0)) == "(),()->(n)"
+    assert (
+        _vector_signature((np.zeros(3),)) == "(p0d0)->(n)"
+    )

@@ -73,29 +73,59 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(el_ref, out_ref, acc_ref, *, treedef, combine, E):
-    el = tuple(el_ref[0, 0, e] for e in range(E))
-    l = pl.program_id(1)
+def _kernel(el_ref, out_ref, acc_ref, *, treedef, combine, E, idents,
+            chunk, python_loop=False):
+    """CHUNKED level-0 body: one grid step runs ``chunk`` sequential
+    combines via an internal ``fori_loop`` over the VMEM-resident
+    slab, with the running accumulator carried as VALUES (registers)
+    and only the cross-grid-step carry in VMEM scratch.
 
-    @pl.when(l == 0)
+    Round-4 measurement behind this shape: one Pallas grid step costs
+    ~2.5 us — the same dispatch floor as a ``lax.scan`` step — so the
+    round-3 one-step-per-grid-index kernel was exactly as
+    step-overhead-bound as the generic engine it replaces (measured
+    1.32 vs 1.38 ms/eval at N=1e5, J=2).  Chunking amortizes that
+    floor ``chunk``-fold; the inner combine is ~150 VPU ops on (8,128)
+    tiles (~0.2 us), so grid overhead drops from ~100 x 2.5 us to
+    ~L/chunk x 2.5 us per level-0 pass.
+    """
+    lc = pl.program_id(1)
+
+    @pl.when(lc == 0)
     def _():
+        # the monoid identity is a TRUE two-sided identity (the same
+        # scalars pad blocks and shift into the leaf doubling scan),
+        # so the first real element passes through combine unchanged
         for e in range(E):
-            acc_ref[e] = el[e]
+            acc_ref[e] = jnp.full(
+                acc_ref.shape[1:], idents[e], acc_ref.dtype
+            )
 
-    @pl.when(l > 0)
-    def _():
-        acc = tuple(acc_ref[e] for e in range(E))
-        new = jax.tree_util.tree_leaves(
-            combine(
-                jax.tree_util.tree_unflatten(treedef, acc),
-                jax.tree_util.tree_unflatten(treedef, el),
+    def step(i, acc):
+        el = tuple(el_ref[0, i, e] for e in range(E))
+        new = tuple(
+            jax.tree_util.tree_leaves(
+                combine(
+                    jax.tree_util.tree_unflatten(treedef, acc),
+                    jax.tree_util.tree_unflatten(treedef, el),
+                )
             )
         )
         for e in range(E):
-            acc_ref[e] = new[e]
+            out_ref[0, i, e] = new[e]
+        return new
 
+    acc = tuple(acc_ref[e] for e in range(E))
+    if python_loop:
+        # interpret mode: a fori_loop would be re-traced/compiled per
+        # eager grid step (pathologically slow on the CPU test path);
+        # a Python loop has identical semantics
+        for i in range(chunk):
+            acc = step(i, acc)
+    else:
+        acc = jax.lax.fori_loop(0, chunk, step, acc)
     for e in range(E):
-        out_ref[0, 0, e] = acc_ref[e]
+        acc_ref[e] = acc[e]
 
 
 def _pad_last(x, n, value):
@@ -105,13 +135,37 @@ def _pad_last(x, n, value):
     return jnp.concatenate([x, fill], axis=-1)
 
 
+def _pick_chunk(E, s, L, interpret):
+    """Steps per grid index: amortize the ~2.5 us grid-step floor over
+    as many inner combines as fit a ~1 MB input slab (double-buffered
+    in + out stay well inside VMEM even for the fattest J=4 families),
+    capped so short loops don't pad excessively.
+
+    Interpret mode (the CPU test path) pins chunk=1: there the kernel
+    body is traced into the enclosing XLA:CPU module, and a chunk of
+    unrolled wide-J combines multiplies an already ~40k-op module
+    chunk-fold (measured: test_wide_j_riccati_parity goes from minutes
+    to >30 min).  Chunk>1 semantics (incl. the identity-row padding)
+    are covered by a dedicated cheap test that monkeypatches this
+    function (tests/test_planes.py::test_chunked_padding_parity)."""
+    if interpret:
+        return 1
+    bytes_per_step = E * s * _LANES * 4
+    c = max(8, min(64, (1 << 20) // max(1, bytes_per_step)))
+    c = 1 << (int(c).bit_length() - 1)  # floor to a power of two
+    while c > 8 and c >= 2 * L:
+        c //= 2
+    return int(c)
+
+
 def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
     """In-block inclusive prefixes of (B, N) planes via one pallas call.
 
     Chain c's block b rides global block index c * NB + b on the
-    lane/tile axis (all level-0 blocks are independent).  Returns
-    (within-block prefixes as (B, NB*L) planes, block maps as (B, NB)
-    planes)."""
+    lane/tile axis (all level-0 blocks are independent).  The L axis is
+    processed ``chunk`` steps per grid index (see :func:`_kernel`).
+    Returns (within-block prefixes as (B, NB*L) planes, block maps as
+    (B, NB) planes)."""
     E = len(flat)
     B = flat[0].shape[0]
     dtype = flat[0].dtype
@@ -119,6 +173,8 @@ def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
     T = -(-GB // (_SUBS * _LANES))
     s = _SUBS if T > 1 else -(-GB // _LANES)
     TOT = T * s * _LANES
+    chunk = _pick_chunk(E, s, L, _interpret())
+    LP = -(-L // chunk) * chunk  # L padded to whole chunks
 
     slabs = []
     for x, iv in zip(flat, idents):
@@ -127,23 +183,30 @@ def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
         x = jnp.concatenate(
             [x, jnp.full((L, TOT - GB), iv, dtype)], axis=1
         )
-        slabs.append(x.reshape(L, T, s, _LANES))
-    slab = jnp.stack(slabs, axis=2)  # (L, T, E, s, 128)
-    slab = jnp.transpose(slab, (1, 0, 2, 3, 4))  # (T, L, E, s, 128)
+        if LP > L:
+            # identity rows beyond L: combine(acc, ident) == acc, so
+            # the padded steps are exact no-ops on the running prefix
+            x = jnp.concatenate(
+                [x, jnp.full((LP - L, TOT), iv, dtype)], axis=0
+            )
+        slabs.append(x.reshape(LP, T, s, _LANES))
+    slab = jnp.stack(slabs, axis=2)  # (LP, T, E, s, 128)
+    slab = jnp.transpose(slab, (1, 0, 2, 3, 4))  # (T, LP, E, s, 128)
 
     kern = functools.partial(
-        _kernel, treedef=treedef, combine=combine, E=E
+        _kernel, treedef=treedef, combine=combine, E=E,
+        idents=tuple(idents), chunk=chunk, python_loop=_interpret(),
     )
     out = pl.pallas_call(
         kern,
-        grid=(T, L),
+        grid=(T, LP // chunk),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, E, s, _LANES), lambda t, l: (t, l, 0, 0, 0)
+                (1, chunk, E, s, _LANES), lambda t, lc: (t, lc, 0, 0, 0)
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, E, s, _LANES), lambda t, l: (t, l, 0, 0, 0)
+            (1, chunk, E, s, _LANES), lambda t, lc: (t, lc, 0, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(slab.shape, dtype),
         scratch_shapes=[pltpu.VMEM((E, s, _LANES), dtype)],
@@ -156,10 +219,10 @@ def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
     prefixes = []
     maps = []
     for e in range(E):
-        x = out[:, :, e]  # (T, L, s, 128)
+        x = out[:, :, e]  # (T, LP, s, 128)
         xm = x[:, L - 1].reshape(TOT)[:GB]
         maps.append(xm.reshape(B, NB))
-        x = jnp.transpose(x, (1, 0, 2, 3)).reshape(L, TOT)
+        x = jnp.transpose(x[:, :L], (1, 0, 2, 3)).reshape(L, TOT)
         prefixes.append(x.T[:GB].reshape(B, NB * L))
     return prefixes, maps
 

@@ -142,6 +142,30 @@ def test_wide_j_riccati_parity(planes_on):
     )
 
 
+def test_chunked_padding_parity(planes_on, monkeypatch):
+    """Chunked level-0 semantics (chunk > 1, incl. the identity-row
+    padding when chunk does not divide L): interpret mode normally pins
+    chunk=1 for compile-time reasons, so force a chunk that (a) runs
+    multiple combines per grid step and (b) pads L up to a whole number
+    of chunks.  J=2 keeps the per-step combine cheap on the CPU path."""
+    from celerite2_tpu.ops import planes_engine
+
+    monkeypatch.setattr(
+        planes_engine, "_pick_chunk", lambda E, s, L, interp: 3
+    )
+    t, c, a, U, V, Y = _system(130)
+    set_config(planes="off")
+    d0, W0, S0 = assoc.factor_assoc(t, c, a, U, V)
+    Z0, F0 = assoc.solve_lower_assoc(t, c, U, W0, Y)
+    set_config(planes="on")
+    d1, W1, S1 = assoc.factor_assoc(t, c, a, U, V)
+    Z1, F1 = assoc.solve_lower_assoc(t, c, U, W1, Y)
+    for x0, x1 in [(d0, d1), (W0, W1), (S0, S1), (Z0, Z1), (F0, F1)]:
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x0), rtol=1e-9, atol=1e-12
+        )
+
+
 def test_planes_vs_scan_oracle(planes_on):
     """Planes-engine factorization against the sequential oracle."""
     t, c, a, U, V, Y = _system(75)

@@ -475,7 +475,7 @@ def tutorial(num_warmup=1000, num_samples=1000):
 # ----------------------------------------------------------- config 5
 
 
-def config5(n=1_000_000, chain_len=20, reps=3):
+def config5(n=1_000_000, chain_len=50, reps=3):
     """BASELINE config 5's single-chip slice: loglik+grad throughput
     and peak device memory at N=1e6 (VERDICT r2 item 4; the full
     config is N=1e6 x 4096 chains on a multi-host mesh, blocked on

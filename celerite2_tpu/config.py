@@ -88,10 +88,20 @@ class Config:
     # entry-planes Pallas prefix engine (ops/planes_engine.py): runs
     # the two-level scheme's sequential loops inside Mosaic kernels on
     # an entry-per-plane layout (full-tile elementwise combines, no
-    # lax.scan while-loop overhead).  "auto" is currently OFF pending
-    # real-TPU measurements (see planes_engine.planes_enabled);
-    # "on"/"off" force (on CPU "on" uses pallas interpret mode)
+    # lax.scan while-loop overhead).  "auto" (default) routes per flow,
+    # per the round-4 TPU A/B (benchmarks/probe_planes_tpu.py): ON for
+    # unbatched traces whose element family has <= planes_max_planes
+    # planes (J=2 loglik+grad measured 1.44x the generic engine at
+    # N=1e5), generic otherwise — fat families (J=4 Riccati: 0.77x) and
+    # vmapped fleets (0.70x at C=32: level-0 serializes C x N / 1024
+    # combines where the generic engine batches chains under its
+    # dispatch floor) lose.  "on"/"off" force globally (on CPU "on"
+    # uses pallas interpret mode; tests pin parity that way).
     planes: Literal["auto", "on", "off"] = "auto"
+    # "auto" plane-count gate: families with more flat planes than this
+    # lose to the generic engine (measured J=2 riccati 12 / kalman 16 /
+    # J^2-affine 20 all win; J=4 riccati 48 and J^2-affine 272 lose)
+    planes_max_planes: int = 24
     # f64 ISLAND for stiff kernels: when "float64", gp_loglik (and the
     # factorization inside gp_compute) upcast inputs + kernel params
     # and run under jax.enable_x64 even in an f32 process (TPU), then

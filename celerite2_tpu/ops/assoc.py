@@ -251,10 +251,10 @@ def _engine_scan(combine, elems, identity, *, reverse=False,
     """
     if spec is not None:
         from celerite2_tpu.ops.planes_engine import (
-            planes_enabled, prefix_planes,
+            planes_wanted, prefix_planes,
         )
 
-        if planes_enabled():
+        if planes_wanted(spec, elems):
             return prefix_planes(spec, elems, reverse=reverse)
     if _use_two_level():
         return two_level_prefix(

@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["prefix_planes", "planes_enabled"]
+__all__ = ["prefix_planes", "planes_enabled", "planes_wanted"]
 
 # Below _LEAF the Hillis-Steele doubling prefix (log2(N) full-width
 # elementwise combines in plain XLA) replaces a pallas level: its
@@ -58,15 +58,56 @@ _SUBS = 8
 
 
 def planes_enabled() -> bool:
-    """Planes engine routing: 'on' forces it for both unbatched and
-    vmapped traces (interpret mode off-TPU; vmap handled by the
-    custom_vmap batch-folding rule); 'auto' is currently OFF
-    everywhere — the kernel is parity-verified in interpret mode but
-    not yet measured on real TPU hardware (the axon tunnel was down
-    when it landed); flip 'auto' to TPU once hardware numbers exist."""
+    """True when planes routing is force-enabled (``planes='on'``):
+    engages the engine for both unbatched and vmapped traces
+    (interpret mode off-TPU; vmap via the custom_vmap batch-folding
+    rule).  The shipping default is ``'auto'`` — see
+    :func:`planes_wanted` for the measured per-flow rule."""
     from celerite2_tpu.config import get_config
 
     return getattr(get_config(), "planes", "auto") == "on"
+
+
+def planes_wanted(spec, elems) -> bool:
+    """Per-flow routing decision for the planes engine.
+
+    'on'/'off' force globally.  'auto' applies the round-4 TPU A/B
+    decision rule (benchmarks/probe_planes_tpu.py, pre-registered in
+    benchmarks/ANALYSIS_planes.md): the engine wins only for UNBATCHED
+    traces of element families with few planes —
+
+    - J=2 loglik+grad: 1.44x the generic engine (N=1e5, in-graph);
+    - J=4 (48-plane riccati): 0.77x — the fat combine turns level-0
+      compute-bound;
+    - vmapped fleets: 0.70x (C=32, N=3e4) — level-0 must run
+      C*N/1024 sequential tile combines while the generic engine
+      batches chains inside ~100 fat scan steps.
+
+    So: TPU, not under vmap (BatchTracer leaves), and
+    len(spec.identity_scalars) <= config.planes_max_planes.
+    """
+    from celerite2_tpu.config import get_config
+
+    mode = getattr(get_config(), "planes", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if len(spec.identity_scalars) > get_config().planes_max_planes:
+        return False
+    return not any(
+        _under_vmap(x) for x in jax.tree_util.tree_leaves(elems)
+    )
+
+
+def _under_vmap(x) -> bool:
+    try:
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - moved across jax versions
+        return False
+    return isinstance(x, BatchTracer)
 
 
 def _interpret() -> bool:

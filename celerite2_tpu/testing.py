@@ -104,7 +104,12 @@ def check_term(term, ref_term, x=None, tau=None, omega=None, atol=1e-8):
 def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
                       atol=1e-8):
     """Full GP-surface parity across op backends (analogue of the
-    reference's ``check_gp_models``, testing.py:183-201)."""
+    reference's ``check_gp_models``, testing.py:183-201).
+
+    A backend entry may carry a ``"+planes"`` suffix (e.g.
+    ``"assoc+planes"``) to force the entry-planes Pallas engine for
+    that arm (interpret mode off-TPU), so the engine the 'auto' routing
+    enables on TPU is covered by the same GP-surface oracle."""
     import dataclasses
 
     import jax
@@ -123,7 +128,11 @@ def check_gp_backends(kernel, backends=("scan", "assoc"), *, size=120,
     prior = get_config()
     try:
         for backend in backends:
-            set_config(backend=backend, assoc_threshold=1)
+            base, _, extra = backend.partition("+")
+            set_config(
+                backend=base, assoc_threshold=1,
+                planes="on" if extra == "planes" else prior.planes,
+            )
             gp = GaussianProcess(kernel, t=t, yerr=yerr)
             cond = gp.condition(y, t=t_new)
             results[backend] = dict(

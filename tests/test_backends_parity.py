@@ -31,3 +31,14 @@ KERNELS = [
 @pytest.mark.parametrize("kernel", KERNELS, ids=lambda k: type(k).__name__)
 def test_gp_backend_parity(kernel):
     check_gp_backends(kernel, backends=("scan", "assoc"))
+
+
+def test_gp_backend_parity_planes():
+    """The engine the TPU 'auto' routing enables, under the same
+    GP-surface oracle (one J=2 kernel: interpret mode is compile-heavy
+    and the per-family parity grid lives in tests/test_planes.py)."""
+    check_gp_backends(
+        SHOTerm(sigma=1.5, rho=3.4, tau=2.3),
+        backends=("scan", "assoc+planes"),
+        size=90,
+    )

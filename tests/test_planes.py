@@ -142,6 +142,53 @@ def test_wide_j_riccati_parity(planes_on):
     )
 
 
+def test_auto_routing_rule(monkeypatch):
+    """'auto' routing (round-4 TPU A/B): planes only for unbatched
+    traces of families with <= planes_max_planes planes, on TPU."""
+    from celerite2_tpu.ops import planes_engine
+    from celerite2_tpu.ops.planes import mat_affine_spec, riccati_spec
+
+    prior = get_config()
+    try:
+        set_config(planes="auto")
+        r2 = riccati_spec(2, jnp.float32)  # 12 planes
+        r4 = riccati_spec(4, jnp.float32)  # 48 planes
+        aff = mat_affine_spec(4, 1, jnp.float32)  # 20 planes
+        el2 = tuple(jnp.zeros((5, 2, 2)) for _ in range(3))
+        el4 = tuple(jnp.zeros((5, 4, 4)) for _ in range(3))
+
+        # off-TPU: auto never engages
+        assert not planes_engine.planes_wanted(r2, el2)
+
+        # pretend TPU: small families yes, fat families no
+        monkeypatch.setattr(
+            planes_engine.jax, "default_backend", lambda: "tpu"
+        )
+        assert planes_engine.planes_wanted(r2, el2)
+        assert planes_engine.planes_wanted(
+            aff, (jnp.zeros((5, 4, 4)), jnp.zeros((5, 4, 1)))
+        )
+        assert not planes_engine.planes_wanted(r4, el4)
+
+        # vmapped trace: generic engine (fleet case loses)
+        seen = []
+
+        def probe(x):
+            seen.append(planes_engine.planes_wanted(r2, (x, x, x)))
+            return x
+
+        jax.vmap(probe)(jnp.zeros((3, 5, 2, 2)))
+        assert seen == [False]
+
+        # forcing still works both ways
+        set_config(planes="on")
+        assert planes_engine.planes_wanted(r4, el4)
+        set_config(planes="off")
+        assert not planes_engine.planes_wanted(r2, el2)
+    finally:
+        set_config(**prior.__dict__)
+
+
 def test_chunked_padding_parity(planes_on, monkeypatch):
     """Chunked level-0 semantics (chunk > 1, incl. the identity-row
     padding when chunk does not divide L): interpret mode normally pins

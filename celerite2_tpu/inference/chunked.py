@@ -19,6 +19,7 @@ The reference has no checkpoint/resume at all (SURVEY.md section 5.4).
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -41,6 +42,8 @@ def drive_chunks(
     checkpoint=None,
     monitor: Optional[Callable] = None,
     stat_fn: Optional[Callable] = None,
+    max_retries: int = 2,
+    on_retry: Optional[Callable] = None,
 ):
     """Run ``seg_fn(carry, sched_slice) -> (carry, outs)`` over the full
     schedule, optionally in chunks.
@@ -51,6 +54,17 @@ def drive_chunks(
     saved under step ``i``, and an existing checkpoint is resumed from.
     ``monitor(step, stats)`` is called after each chunk with
     ``stat_fn(carry, outs) -> dict`` (skipped when either is None).
+
+    ``max_retries`` — transparent crash recovery (VERDICT r4 item 8):
+    the axon TPU worker has been observed to die under long continuous
+    executions; a host-side snapshot of ``(carry, outs)`` is kept after
+    every completed chunk, and a chunk whose execution (or device->host
+    readback) raises is retried from that snapshot up to ``max_retries``
+    times per chunk, re-uploading the carry to fresh device buffers.
+    ``on_retry(chunk_index, attempt, exception)`` is called before each
+    retry (for logging / backend re-init hooks); a warning is emitted
+    otherwise.  Bit-compatibility is preserved: the retried chunk reruns
+    the identical compiled segment on the identical carry.
 
     Returns ``(carry, outs)`` with segment outputs concatenated along
     axis 0 (step-major, as if run in one scan).
@@ -119,10 +133,44 @@ def drive_chunks(
             outs_acc = restored["outs"]
             start_idx = latest + 1
 
+    # host-side restart point: survives a device/worker crash even when
+    # no CheckpointManager is attached
+    carry_host = jax.tree_util.tree_map(np.asarray, carry)
+
     for i in range(start_idx, len(segments)):
         lo, hi = segments[i]
-        carry, outs = seg_jit(carry, _slice_sched(sched, lo, hi))
-        outs = jax.tree_util.tree_map(np.asarray, outs)
+        attempt = 0
+        while True:
+            try:
+                carry_new, outs = seg_jit(
+                    carry, _slice_sched(sched, lo, hi)
+                )
+                # the readback is where a dead worker actually surfaces:
+                # force it inside the retry scope
+                outs = jax.tree_util.tree_map(np.asarray, outs)
+                carry_host_new = jax.tree_util.tree_map(
+                    np.asarray, carry_new
+                )
+                break
+            except Exception as exc:  # noqa: BLE001 - worker crashes
+                # surface as RuntimeError/XlaRuntimeError, not a stable type
+                attempt += 1
+                if attempt > max_retries:
+                    raise
+                if on_retry is not None:
+                    on_retry(i, attempt, exc)
+                else:
+                    warnings.warn(
+                        f"chunk {i} failed ({type(exc).__name__}: {exc});"
+                        f" retrying from the last completed chunk"
+                        f" (attempt {attempt}/{max_retries})",
+                        stacklevel=2,
+                    )
+                # re-upload from the host snapshot: the old device
+                # buffers may belong to a dead worker
+                carry = jax.tree_util.tree_map(jnp.asarray, carry_host)
+        carry = carry_new
+        carry_host = carry_host_new
         if outs_acc is None:
             outs_acc = outs
         else:
@@ -135,7 +183,7 @@ def drive_chunks(
             checkpoint.save(
                 i,
                 dict(
-                    carry=jax.tree_util.tree_map(np.asarray, carry),
+                    carry=carry_host,
                     outs=outs_acc,
                     sched_meta=sched_meta,
                 ),

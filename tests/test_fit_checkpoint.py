@@ -153,3 +153,76 @@ def test_chunked_hmc_monitor_stats(tmp_path):
     for _, stats in records:
         assert 0.0 <= stats["mean_accept"] <= 1.0
         assert stats["step_size"] > 0
+
+
+def test_drive_chunks_retries_after_worker_crash():
+    """A chunk whose device execution raises mid-run is retried from the
+    host snapshot and the run completes with exactly the fault-free
+    results (VERDICT r4 item 8: unattended survival of worker crashes).
+
+    The fault is injected through an io_callback that raises on one
+    specific invocation — the same surface (a runtime error escaping the
+    executed computation) as a real axon worker death.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import io_callback
+
+    from celerite2_tpu.inference.chunked import drive_chunks
+
+    calls = {"n": 0, "fail_at": -1}
+
+    def passthrough(x):
+        calls["n"] += 1
+        if calls["n"] == calls["fail_at"]:
+            raise RuntimeError("injected TPU worker crash")
+        return np.asarray(x)
+
+    def seg_fn(carry, sched):
+        (steps,) = sched
+
+        def body(c, s):
+            c = c + s
+            return c, c
+
+        carry, outs = jax.lax.scan(body, carry, steps)
+        carry = io_callback(
+            passthrough,
+            jax.ShapeDtypeStruct(carry.shape, carry.dtype),
+            carry,
+            ordered=True,
+        )
+        return carry, outs
+
+    sched = (np.arange(1.0, 13.0, dtype=np.float32),)
+    carry0 = jnp.zeros(())
+
+    ref_carry, ref_outs = drive_chunks(
+        seg_fn, carry0, sched, chunk_size=4
+    )
+
+    # fault on the third segment execution; expect one retry, same result
+    calls["n"] = 0
+    calls["fail_at"] = 3
+    retries = []
+    carry, outs = drive_chunks(
+        seg_fn,
+        carry0,
+        sched,
+        chunk_size=4,
+        max_retries=2,
+        on_retry=lambda i, k, e: retries.append((i, k)),
+    )
+    assert retries == [(2, 1)]
+    np.testing.assert_array_equal(np.asarray(carry), np.asarray(ref_carry))
+    np.testing.assert_array_equal(np.asarray(outs), np.asarray(ref_outs))
+
+    # retries exhausted -> the original error surfaces
+    calls["n"] = 0
+    calls["fail_at"] = 2
+    try:
+        drive_chunks(seg_fn, carry0, sched, chunk_size=4, max_retries=0)
+        raise AssertionError("expected the injected crash to surface")
+    except Exception as exc:  # noqa: BLE001 - runtime wraps the error
+        assert "injected TPU worker crash" in str(exc)

@@ -100,9 +100,51 @@ def main(N=100_000, chain=400):
             acc = acc + jnp.sum(x.reshape(LP, T, s, 128))
         return acc
 
+    def prep_batched(*flat):
+        """All-planes-in-one-op slab layout (the round-5 scheme)."""
+        GB = NB
+        T = -(-GB // (8 * 128))
+        s = 8 if T > 1 else -(-GB // 128)
+        TOT = T * s * 128
+        chunk = planes_engine._pick_chunk(E, s, L, False)
+        LP = -(-L // chunk) * chunk
+        x = jnp.stack(list(flat), axis=0)  # (E, N)
+        iv = jnp.asarray(idents, x.dtype)
+        x = jnp.concatenate(
+            [
+                x,
+                jnp.broadcast_to(
+                    iv[:, None], (E, NB * L - x.shape[-1])
+                ),
+            ],
+            axis=-1,
+        )
+        x = x.reshape(E, GB, L)
+        x = jnp.concatenate(
+            [
+                x,
+                jnp.broadcast_to(iv[:, None, None], (E, TOT - GB, L)),
+            ],
+            axis=1,
+        )
+        x = x.reshape(E, T, s, 128, L)
+        x = jnp.transpose(x, (1, 4, 0, 2, 3))  # (T, L, E, s, 128)
+        if LP > L:
+            x = jnp.concatenate(
+                [
+                    x,
+                    jnp.broadcast_to(
+                        iv[None, None, :, None, None],
+                        (T, LP - L, E, s, 128),
+                    ),
+                ],
+                axis=1,
+            )
+        return jnp.sum(x)
+
     def kernel_arm(*flat):
         prefixes, maps = planes_engine._block_prefix_kernel(
-            list(flat), idents, treedef, spec.combine, L, NB
+            [x[None] for x in flat], idents, treedef, spec.combine, L, NB
         )
         return sum(jnp.sum(x) for x in prefixes) + sum(
             jnp.sum(m) for m in maps
@@ -138,6 +180,10 @@ def main(N=100_000, chain=400):
     _time(
         chained(lambda f0, *rest: prep_only(f0, *rest), E),
         tuple(flat0), chain, "prep-only",
+    )
+    _time(
+        chained(lambda f0, *rest: prep_batched(f0, *rest), E),
+        tuple(flat0), chain, "prep-batched",
     )
     _time(
         chained(lambda f0, *rest: kernel_arm(f0, *rest), E),

@@ -122,6 +122,18 @@ class Config:
     # instead:  with jax.enable_x64(True): run_nuts(...)  (see
     # benchmarks/configs.py config4).
     core_dtype: Literal["float64"] | None = None
+    # fused slab-resident log-likelihood pipeline (ops/fused_slab.py):
+    # the whole loglik value+grad runs as THREE Mosaic scan kernels
+    # (kalman forward, solve reverse, factor reverse) that build their
+    # monoid elements IN-KERNEL from raw per-row planes, with all glue
+    # between them (distributes, consumers, cotangent seeds, shifted
+    # caches) staying in the kernels' slab layout — one layout
+    # pack/unpack bookends the PIPELINE instead of every engine pass
+    # (the measured round-5 cost center: ~0.15 ms/eval of XLA layout
+    # work per pass).  "auto" routes TPU + unbatched + J <= 2 + K = 1
+    # traces that would take the assoc tier; "on" forces (interpret
+    # mode off-TPU — the CPU parity-test path); "off" disables.
+    fused_slab: Literal["auto", "on", "off"] = "auto"
 
 
 _config = Config()

@@ -364,6 +364,15 @@ def gp_loglik(kernel, t, y, *, yerr=None, diag=None, mean=0.0):
 
 def _loglik_core(kernel, t, resid, diag_v):
     c, a, U, V = kernel.get_celerite_matrices(t, diag_v)
+
+    from celerite2_tpu.ops.fused_slab import loglik_slab, slab_wanted
+
+    if slab_wanted(t, U, resid):
+        # fused slab pipeline: the whole value+gradient as three Mosaic
+        # kernels with one layout pack/unpack for the PIPELINE (the
+        # per-pass engines pay ~0.1-0.15 ms/eval of XLA layout work per
+        # pass at N=1e5 — the round-5 measured cost center)
+        return loglik_slab(t, c, a, U, V, resid)
     d, _, z = ops.factor_solve(t, c, a, U, V, resid[:, None])
 
     ok = jnp.all(d > 0)

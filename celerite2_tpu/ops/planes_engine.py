@@ -199,73 +199,140 @@ def _pick_chunk(E, s, L, interpret):
     return int(c)
 
 
+class _SlabGeom:
+    """Geometry of the level-0 slab for (B, N) planes split into NB
+    blocks of L rows: global block GB = B*NB rides (tile t, sublane s,
+    lane) = (g // 1024, (g % 1024) // 128, g % 128); the L axis is
+    chunked for the kernel grid."""
+
+    def __init__(self, E, B, N, L, NB, interpret):
+        self.E, self.B, self.N, self.L, self.NB = E, B, N, L, NB
+        self.GB = B * NB
+        self.T = -(-self.GB // (_SUBS * _LANES))
+        self.s = _SUBS if self.T > 1 else -(-self.GB // _LANES)
+        self.TOT = self.T * self.s * _LANES
+        self.chunk = _pick_chunk(E, self.s, L, interpret)
+        self.LP = -(-L // self.chunk) * self.chunk
+
+
+def _pack_slab(g, flat, idents):
+    """(B, N) planes -> ONE (T, LP, E, s, 128) slab in four fat ops
+    (stack, two identity-pad concats, one transpose) instead of ~4 ops
+    PER PLANE — the per-plane form was measured dispatch-bound at ~0.16
+    ms/eval for a 12-plane pass (probe_planes_glue_tpu.py, round 5),
+    i.e. most of the engine's cost was XLA op overhead in layout prep."""
+    dtype = flat[0].dtype
+    x = jnp.stack(flat, axis=0)  # (E, B, N)
+    iv = jnp.asarray(list(idents), dtype)
+    pad_rows = g.NB * g.L - g.N
+    if pad_rows:
+        # identity rows pad the tail of the last block: two-sided
+        # identity => exact no-ops on the running prefix
+        x = jnp.concatenate(
+            [
+                x,
+                jnp.broadcast_to(
+                    iv[:, None, None], (g.E, g.B, pad_rows)
+                ),
+            ],
+            axis=-1,
+        )
+    x = x.reshape(g.E, g.GB, g.L)
+    if g.TOT > g.GB:
+        x = jnp.concatenate(
+            [
+                x,
+                jnp.broadcast_to(
+                    iv[:, None, None], (g.E, g.TOT - g.GB, g.L)
+                ),
+            ],
+            axis=1,
+        )
+    x = x.reshape(g.E, g.T, g.s, _LANES, g.L)
+    x = jnp.transpose(x, (1, 4, 0, 2, 3))  # (T, L, E, s, 128)
+    if g.LP > g.L:
+        # identity steps beyond L: exact no-ops on the running prefix
+        x = jnp.concatenate(
+            [
+                x,
+                jnp.broadcast_to(
+                    iv[None, None, :, None, None],
+                    (g.T, g.LP - g.L, g.E, g.s, _LANES),
+                ),
+            ],
+            axis=1,
+        )
+    return x
+
+
+def _unpack_slab(g, slab_planes):
+    """List of E' (T, LP, s, 128) planes -> list of (B, N) planes, via
+    one stack + one transpose (the inverse of :func:`_pack_slab`)."""
+    x = jnp.stack(slab_planes, axis=0)  # (E', T, LP, s, 128)
+    x = jnp.transpose(x[:, :, : g.L], (0, 1, 3, 4, 2))
+    x = x.reshape(x.shape[0], g.TOT, g.L)[:, : g.GB]
+    x = x.reshape(x.shape[0], g.B, g.NB * g.L)[..., : g.N]
+    return [x[e] for e in range(x.shape[0])]
+
+
+def _pack_blocks(g, flat, idents):
+    """(B, NB) per-block planes -> (T, 1, s, 128) slab planes (the
+    exclusive block prefixes, broadcast against the LP axis in the
+    slab-resident distribute).  Tiny arrays (~N/L elements)."""
+    out = []
+    for x, iv in zip(flat, idents):
+        x = x.reshape(g.GB)
+        if g.TOT > g.GB:
+            x = jnp.concatenate(
+                [x, jnp.full((g.TOT - g.GB,), iv, x.dtype)]
+            )
+        out.append(x.reshape(g.T, 1, g.s, _LANES))
+    return out
+
+
 def _block_prefix_kernel(flat, idents, treedef, combine, L, NB):
     """In-block inclusive prefixes of (B, N) planes via one pallas call.
 
     Chain c's block b rides global block index c * NB + b on the
     lane/tile axis (all level-0 blocks are independent).  The L axis is
     processed ``chunk`` steps per grid index (see :func:`_kernel`).
-    Returns (within-block prefixes as (B, NB*L) planes, block maps as
-    (B, NB) planes)."""
+    Returns (geometry, within-block prefix slab planes as E
+    (T, LP, s, 128) arrays, block maps as (B, NB) planes)."""
     E = len(flat)
-    B = flat[0].shape[0]
+    B, N = flat[0].shape
     dtype = flat[0].dtype
-    GB = B * NB  # global block count
-    T = -(-GB // (_SUBS * _LANES))
-    s = _SUBS if T > 1 else -(-GB // _LANES)
-    TOT = T * s * _LANES
-    chunk = _pick_chunk(E, s, L, _interpret())
-    LP = -(-L // chunk) * chunk  # L padded to whole chunks
-
-    slabs = []
-    for x, iv in zip(flat, idents):
-        x = _pad_last(x, NB * L - x.shape[-1], iv)
-        x = x.reshape(GB, L).T  # (L, GB)
-        x = jnp.concatenate(
-            [x, jnp.full((L, TOT - GB), iv, dtype)], axis=1
-        )
-        if LP > L:
-            # identity rows beyond L: combine(acc, ident) == acc, so
-            # the padded steps are exact no-ops on the running prefix
-            x = jnp.concatenate(
-                [x, jnp.full((LP - L, TOT), iv, dtype)], axis=0
-            )
-        slabs.append(x.reshape(LP, T, s, _LANES))
-    slab = jnp.stack(slabs, axis=2)  # (LP, T, E, s, 128)
-    slab = jnp.transpose(slab, (1, 0, 2, 3, 4))  # (T, LP, E, s, 128)
+    g = _SlabGeom(E, B, N, L, NB, _interpret())
+    slab = _pack_slab(g, flat, idents)
 
     kern = functools.partial(
         _kernel, treedef=treedef, combine=combine, E=E,
-        idents=tuple(idents), chunk=chunk, python_loop=_interpret(),
+        idents=tuple(idents), chunk=g.chunk, python_loop=_interpret(),
     )
     out = pl.pallas_call(
         kern,
-        grid=(T, LP // chunk),
+        grid=(g.T, g.LP // g.chunk),
         in_specs=[
             pl.BlockSpec(
-                (1, chunk, E, s, _LANES), lambda t, lc: (t, lc, 0, 0, 0)
+                (1, g.chunk, E, g.s, _LANES),
+                lambda t, lc: (t, lc, 0, 0, 0),
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, chunk, E, s, _LANES), lambda t, lc: (t, lc, 0, 0, 0)
+            (1, g.chunk, E, g.s, _LANES), lambda t, lc: (t, lc, 0, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(slab.shape, dtype),
-        scratch_shapes=[pltpu.VMEM((E, s, _LANES), dtype)],
+        scratch_shapes=[pltpu.VMEM((E, g.s, _LANES), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")
         ),
         interpret=_interpret(),
     )(slab)
 
-    prefixes = []
-    maps = []
-    for e in range(E):
-        x = out[:, :, e]  # (T, LP, s, 128)
-        xm = x[:, L - 1].reshape(TOT)[:GB]
-        maps.append(xm.reshape(B, NB))
-        x = jnp.transpose(x[:, :L], (1, 0, 2, 3)).reshape(L, TOT)
-        prefixes.append(x.T[:GB].reshape(B, NB * L))
-    return prefixes, maps
+    prefixes = [out[:, :, e] for e in range(E)]  # (T, LP, s, 128) each
+    xm = jnp.transpose(out[:, L - 1], (1, 0, 2, 3))  # (E, T, s, 128)
+    xm = xm.reshape(E, g.TOT)[:, : g.GB].reshape(E, B, NB)
+    maps = [xm[e] for e in range(E)]
+    return g, prefixes, maps
 
 
 def _leaf_scan(flat, idents, treedef, combine):
@@ -309,7 +376,7 @@ def _two_level(flat, idents, treedef, combine, distribute):
     L = max(8, min(N, -(-(B * N) // (_SUBS * _LANES))))
     NB = -(-N // L)
 
-    prefixes, maps = _block_prefix_kernel(
+    g, prefixes, maps = _block_prefix_kernel(
         flat, idents, treedef, combine, L, NB
     )
 
@@ -321,14 +388,22 @@ def _two_level(flat, idents, treedef, combine, distribute):
         )
         for x, iv in zip(incl, idents)
     ]
-    # distribute: row n gets combine(excl[block(n)], prefix_n)
-    excl_rows = [jnp.repeat(x, L, axis=-1)[:, :N] for x in excl]
-    pref_rows = [x[:, :N] for x in prefixes]
+    # distribute IN SLAB LAYOUT: the exclusive block prefix is constant
+    # within a block, i.e. constant along the slab's LP axis — a (T, 1,
+    # s, 128) broadcast against the (T, LP, s, 128) prefixes, fused by
+    # XLA into the combine, where the (B, N)-layout formulation needed a
+    # materializing jnp.repeat per plane.  Only the combined output
+    # makes the (one batched) trip back to (B, N) layout.
+    excl_slab = _pack_blocks(g, excl, idents)
     full = distribute(
-        jax.tree_util.tree_unflatten(treedef, tuple(excl_rows)),
-        jax.tree_util.tree_unflatten(treedef, tuple(pref_rows)),
+        jax.tree_util.tree_unflatten(treedef, tuple(excl_slab)),
+        jax.tree_util.tree_unflatten(treedef, tuple(prefixes)),
     )
-    return list(jax.tree_util.tree_leaves(full))
+    full_planes = [
+        jnp.broadcast_to(x, (g.T, g.LP, g.s, _LANES))
+        for x in jax.tree_util.tree_leaves(full)
+    ]
+    return _unpack_slab(g, full_planes)
 
 
 def _make_core(idents, treedef, combine, distribute):

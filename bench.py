@@ -133,10 +133,13 @@ def main(smoke: bool = False):
     # metric reflects device compute, not tunnel noise
     results = {}
     vals = {}
+    # chain length must keep the ~30 ms/call tunnel dispatch below a
+    # few % of the chain: at 0.28 ms/eval (round-5 fused slab) 150
+    # evals carried ~40% noise; 600 carries ~15 us/eval
     plan = (
         (("scan", 2, 1), ("assoc", 10, 1))
         if smoke
-        else (("scan", 2, 1), ("assoc", 150, 3))
+        else (("scan", 2, 1), ("assoc", 600, 3))
     )
     for backend, chain_len, reps in plan:
         fn = make_fn(backend, chain_len)
@@ -162,7 +165,15 @@ def main(smoke: bool = False):
         "platform": jax.default_backend(),
     }
     if not smoke:
-        payload["ess_per_s_fleet_N3e4_C64"] = round(_fleet_ess_rate(), 3)
+        fleet = _fleet_ess_rate()
+        # headline fleet number: compile EXCLUDED (the compiled program
+        # is reusable and chain-count independent; wall-with-compile
+        # mixed 1.5-4 min of tunnel-dependent XLA time into a ~2 min
+        # sampling measurement — the round-2..4 "regression" was mostly
+        # this, see benchmarks/RESULTS.md round-5 fleet note)
+        payload["ess_per_s_fleet_N3e4_C64"] = fleet["excl_compile"]
+        payload["ess_per_s_fleet_incl_compile"] = fleet["incl_compile"]
+        payload["fleet_min_ess"] = fleet["min_ess"]
     print(json.dumps(payload))
 
 
@@ -206,6 +217,7 @@ def _fleet_ess_rate():
     from celerite2_tpu.config import get_config
 
     prior = get_config()
+    stamps = []
     try:
         set_config(assoc_threshold=64)
         t0 = time.perf_counter()
@@ -219,6 +231,9 @@ def _fleet_ess_rate():
                 num_chains=64,
                 max_leapfrog=48,
                 chunk_size=20,  # bounded device executions (CLAUDE.md)
+                monitor=lambda step, stats: stamps.append(
+                    time.perf_counter()
+                ),
             )
         )
         wall = time.perf_counter() - t0
@@ -227,7 +242,18 @@ def _fleet_ess_rate():
         )
     finally:
         set_config(**prior.__dict__)
-    return ess / wall
+    # chunk 0's wall includes the one-off XLA compile; the remaining
+    # chunks measure pure sampling throughput of the reusable program
+    if len(stamps) > 1:
+        per_chunk = (stamps[-1] - stamps[0]) / (len(stamps) - 1)
+        wall_sampling = per_chunk * len(stamps)
+    else:  # pragma: no cover - single-chunk fallback
+        wall_sampling = wall
+    return dict(
+        incl_compile=round(ess / wall, 3),
+        excl_compile=round(ess / wall_sampling, 3),
+        min_ess=round(ess, 1),
+    )
 
 
 if __name__ == "__main__":

@@ -59,7 +59,6 @@ steps.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
@@ -553,7 +552,6 @@ def _backward(g: Geom, c, R0, RES, ok, bll):
 
     dt_s = R0[:, :, 0]
     u_s = _planes_of(R0, range(1, 1 + J))
-    v_s = _planes_of(R0, range(1 + J, 1 + 2 * J))  # noqa: F841
     S = _planes_of(RES, range(J * J))
     F = _planes_of(RES, range(J * J, J * J + J))
     dd = RES[:, :, J * J + J]

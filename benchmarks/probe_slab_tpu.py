@@ -1,7 +1,7 @@
 """A/B the fused slab loglik pipeline against the shipping per-pass
 engines on real TPU: J=2 loglik+grad, in-graph chains.
 
-Usage: timeout 2400 python -u benchmarks/probe_slab_tpu.py [N] [CHAIN]
+Usage: timeout 2400 python -u benchmarks/probe_slab_tpu.py [N] [CHAIN] [J]
 """
 
 import sys
@@ -34,7 +34,7 @@ def _time(fn, args, chain, label):
     return best / chain
 
 
-def main(N=100_000, chain=1000):
+def main(N=100_000, chain=1000, J=2):
     from celerite2_tpu import get_config, set_config, terms
     from celerite2_tpu.gp import gp_loglik
 
@@ -50,6 +50,10 @@ def main(N=100_000, chain=1000):
         k = terms.SHOTerm(
             sigma=jnp.exp(th[0]), rho=jnp.exp(th[1]), tau=jnp.exp(th[2])
         )
+        if J == 4:
+            k = k + terms.SHOTerm(
+                sigma=0.5 * jnp.exp(th[0]), rho=1.1, Q=0.3
+            )
         return gp_loglik(k, t, y, yerr=yerr)
 
     def chained(chain):
@@ -99,4 +103,5 @@ if __name__ == "__main__":
     main(
         int(float(a[0])) if len(a) > 0 else 100_000,
         int(a[1]) if len(a) > 1 else 1000,
+        int(a[2]) if len(a) > 2 else 2,
     )

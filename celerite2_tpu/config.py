@@ -130,9 +130,12 @@ class Config:
     # caches) staying in the kernels' slab layout — one layout
     # pack/unpack bookends the PIPELINE instead of every engine pass
     # (the measured round-5 cost center: ~0.15 ms/eval of XLA layout
-    # work per pass).  "auto" routes TPU + unbatched + J <= 2 + K = 1
-    # traces that would take the assoc tier; "on" forces (interpret
-    # mode off-TPU — the CPU parity-test path); "off" disables.
+    # work per pass).  "auto" routes TPU + unbatched + J <= 4 + K = 1
+    # traces that would take the assoc tier (J <= 2: dense in-kernel
+    # reverse elements; J = 3..4: the structured A/B/C factor
+    # adjoint); "on" forces (interpret mode off-TPU — the CPU
+    # parity-test path); "off" disables.  Measured v5e, N=1e5,
+    # loglik+grad: J=2 0.89 -> 0.28 ms/eval, J=4 3.12 -> 1.02.
     fused_slab: Literal["auto", "on", "off"] = "auto"
 
 

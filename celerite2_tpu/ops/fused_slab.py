@@ -44,10 +44,12 @@ into valid lanes.  The single exception is the n = 0 element of the
 two reverse flows (whose step n uses row n's own u/w), handled by one
 in-kernel one-hot mask on u.
 
-Scope: K = 1 (the log-likelihood RHS), J <= 2 (bucketed SHO/real
-terms — the sampler hot path), unbatched traces, runs compiled on TPU
-and in interpret mode elsewhere (the CPU parity-test path).  Other
-shapes keep the per-pass planes/generic engines.
+Scope: K = 1 (the log-likelihood RHS), J <= 4 (SHO/real terms and
+their mixtures incl. RotationTerm — the sampler hot paths), unbatched
+traces, runs compiled on TPU and in interpret mode elsewhere (the CPU
+parity-test path).  J <= 2 uses dense-in-kernel reverse elements;
+J = 3..4 the structured A/B/C factor adjoint.  Other shapes keep the
+per-pass planes/generic engines.
 
 Role of the reference's fused likelihood path (celerite2
 ``c++/include/celerite2/core.hpp norm + forward.hpp:111-132`` plus the
@@ -471,6 +473,255 @@ def _build_factor_rev(raw, tpid, l, *, J, s):
     return (L, C)
 
 
+# ==================== structured factor adjoint (J > 2, phases A/B/C)
+#
+# At J > 2 the dense reverse-factor element (J^4 + J^2 planes PER ROW)
+# is untenable; instead the adjoint stays STRUCTURED (O(J^2) to apply,
+# assoc._frev_apply math) and only per-BLOCK composed maps densify:
+#
+#   A. one kernel pushes the J^2 basis matrices + the affine constant
+#      through each block's steps (descending), emitting one dense
+#      (J^2 x J^2 | J^2) affine map per block;
+#   B. the <= ~1025 block maps compose as augmented (D+1, D+1) matrix
+#      suffix products in XLA (Hillis-Steele doubling, real matmuls —
+#      a handful of HLO ops, full matmul precision), giving each
+#      block's incoming state (the exclusive composition applied to
+#      the zero init);
+#   C. a second kernel re-runs each block's structured recursion from
+#      that seed, emitting the state entering every step.
+#
+# This is assoc._frev_suffix_states re-architected for slab residency.
+
+
+def _structured_apply(M, par, J, affine):
+    """One reverse-factor step on a J^2-plane state (row-major (j,k)).
+
+    math of assoc._frev_apply:  bv = (M + M^T) w (+bv0),
+    ba = -w^T M w (+bdp),  M' = p (.) [M - u (x) bv - ba u (x) u] (.) p
+    """
+    p, u, w, bv0, bdp = par
+    Mw = [
+        sum(M[i * J + k] * w[k] for k in range(J)) for i in range(J)
+    ]
+    MTw = [
+        sum(M[k * J + i] * w[k] for k in range(J)) for i in range(J)
+    ]
+    bv = [Mw[i] + MTw[i] for i in range(J)]
+    ba = -sum(w[i] * Mw[i] for i in range(J))
+    if affine:
+        bv = [bv[i] + bv0[i] for i in range(J)]
+        ba = ba + bdp
+    return [
+        p[i] * (M[i * J + k] - u[i] * bv[k] - ba * u[i] * u[k]) * p[k]
+        for i in range(J)
+        for k in range(J)
+    ]
+
+
+def _frev_par(raw, tpid, l, J, s):
+    p = raw[:J]
+    u = _masked_u(raw[J : 2 * J], tpid, l, s, J)
+    w = raw[2 * J : 3 * J]
+    bv0 = raw[3 * J : 4 * J]
+    bdp = raw[4 * J]
+    return (p, u, w, bv0, bdp)
+
+
+def _phaseA_body(in_ref, out_ref, acc_ref, *, J, s, chunk, NC,
+                 python_loop):
+    """Densify one block's composed affine map: carry = (J^2 basis
+    columns each J^2 planes, constant J^2 planes); steps applied
+    descending; the final map is written to the per-block out slot."""
+    tpid = pl.program_id(0)
+    lc = pl.program_id(1)
+    cp = NC - 1 - lc
+    D = J * J
+    E = D * D + D
+
+    @pl.when(lc == 0)
+    def _():
+        for k in range(D):
+            for i in range(D):
+                acc_ref[k * D + i] = jnp.full(
+                    acc_ref.shape[1:],
+                    1.0 if i == k else 0.0,
+                    acc_ref.dtype,
+                )
+        for i in range(D):
+            acc_ref[D * D + i] = jnp.zeros(
+                acc_ref.shape[1:], acc_ref.dtype
+            )
+
+    def step(j, acc):
+        i = chunk - 1 - j
+        raw = tuple(in_ref[0, i, e] for e in range(in_ref.shape[2]))
+        par = _frev_par(raw, tpid, cp * chunk + i, J, s)
+        new = []
+        # composed-so-far f; new = step ∘ f: columns map through the
+        # LINEAR part, the constant through the full affine step
+        for k in range(D):
+            col = [acc[k * D + m] for m in range(D)]
+            new.extend(_structured_apply(col, par, J, affine=False))
+        con = [acc[D * D + m] for m in range(D)]
+        new.extend(_structured_apply(con, par, J, affine=True))
+        return tuple(new)
+
+    acc = tuple(acc_ref[e] for e in range(E))
+    if python_loop:
+        for j in range(chunk):
+            acc = step(j, acc)
+    else:
+        acc = jax.lax.fori_loop(0, chunk, step, acc)
+    for e in range(E):
+        acc_ref[e] = acc[e]
+        out_ref[0, 0, e] = acc[e]
+
+
+def _phaseC_body(in_ref, seed_ref, out_ref, acc_ref, *, J, s, chunk,
+                 NC, python_loop):
+    """Re-run one block's structured recursion from its incoming state,
+    emitting the state ENTERING every step (= M_in; at the n = 0 row,
+    whose element is the identity, this is exactly the state after all
+    real steps — the boundary value the row formulas need)."""
+    tpid = pl.program_id(0)
+    lc = pl.program_id(1)
+    cp = NC - 1 - lc
+    D = J * J
+
+    @pl.when(lc == 0)
+    def _():
+        for e in range(D):
+            acc_ref[e] = seed_ref[0, 0, e]
+
+    def step(j, acc):
+        i = chunk - 1 - j
+        for e in range(D):
+            out_ref[0, i, e] = acc[e]
+        raw = tuple(in_ref[0, i, e] for e in range(in_ref.shape[2]))
+        par = _frev_par(raw, tpid, cp * chunk + i, J, s)
+        return tuple(_structured_apply(list(acc), par, J, affine=True))
+
+    acc = tuple(acc_ref[e] for e in range(D))
+    if python_loop:
+        for j in range(chunk):
+            acc = step(j, acc)
+    else:
+        acc = jax.lax.fori_loop(0, chunk, step, acc)
+    for e in range(D):
+        acc_ref[e] = acc[e]
+
+
+def _factor_adjoint_structured(g: Geom, stream, J):
+    """M_in planes (J^2, each (T, LP, s, 128)) for the J > 2 factor
+    adjoint, via the A/B/C scheme above."""
+    D = J * J
+    E_in = stream.shape[2]
+    EA = D * D + D
+    chunk = g.chunk_for(E_in + D)
+    NC = g.LP // chunk
+    interp = _interpret()
+
+    # ---- phase A: per-block dense maps
+    kernA = functools.partial(
+        _phaseA_body, J=J, s=g.s, chunk=chunk, NC=NC,
+        python_loop=interp,
+    )
+    maps_slab = pl.pallas_call(
+        kernA,
+        grid=(g.T, NC),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk, E_in, g.s, _LANES),
+                lambda t, lc: (t, NC - 1 - lc, 0, 0, 0),
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, EA, g.s, _LANES), lambda t, lc: (t, 0, 0, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (g.T, 1, EA, g.s, _LANES), g.dtype
+        ),
+        scratch_shapes=[pltpu.VMEM((EA, g.s, _LANES), g.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interp,
+    )(stream)
+
+    # ---- phase B: augmented-matrix suffix products over blocks
+    nat = jnp.transpose(maps_slab[:, 0], (1, 0, 2, 3)).reshape(
+        EA, g.TOT
+    )[:, : g.GB]
+    # column k of the block map = image of basis e_k; build (GB, D, D)
+    # with A[:, i, k] = image_k[i] in TWO fat ops (a stack-of-slices
+    # formulation here cost ~1 ms/eval of tiny-op dispatch — measured)
+    A = jnp.transpose(nat[: D * D].reshape(D, D, g.GB), (2, 1, 0))
+    cvec = nat[D * D :].T  # (GB, D)
+    eye1 = jnp.zeros((g.GB, 1, D + 1), g.dtype).at[:, 0, D].set(1.0)
+    Maug = jnp.concatenate(
+        [jnp.concatenate([A, cvec[:, :, None]], axis=-1), eye1], axis=-2
+    )
+    with jax.default_matmul_precision("highest"):
+        S = Maug
+        k = 1
+        eye = jnp.broadcast_to(
+            jnp.eye(D + 1, dtype=g.dtype)[None], (g.GB, D + 1, D + 1)
+        )
+        while k < g.GB:
+            shifted = jnp.concatenate([S[k:], eye[:k]], axis=0)
+            S = jnp.matmul(S, shifted)
+            k *= 2
+    # barrier: consuming the product chain ONLY through the seed slice
+    # makes XLA:TPU lower the whole chain ~10x slower (measured 4.9 vs
+    # 0.5 ms/eval — the narrowing rewrites the batched matmuls); the
+    # barrier pins the standard lowering
+    S = jax.lax.optimization_barrier(S)
+    # exclusive suffix applied to the zero init -> per-block seed state
+    seeds = jnp.concatenate(
+        [S[1:, :D, D], jnp.zeros((1, D), g.dtype)], axis=0
+    )  # (GB, D)
+
+    if g.TOT > g.GB:
+        seeds = jnp.concatenate(
+            [seeds, jnp.zeros((g.TOT - g.GB, D), g.dtype)], axis=0
+        )
+    seed_slab = jnp.transpose(
+        seeds.T.reshape(D, g.T, g.s, _LANES), (1, 0, 2, 3)
+    )[:, None]  # (T, 1, D, s, 128)
+
+    # ---- phase C: seeded per-row states
+    kernC = functools.partial(
+        _phaseC_body, J=J, s=g.s, chunk=chunk, NC=NC,
+        python_loop=interp,
+    )
+    out = pl.pallas_call(
+        kernC,
+        grid=(g.T, NC),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk, E_in, g.s, _LANES),
+                lambda t, lc: (t, NC - 1 - lc, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, D, g.s, _LANES), lambda t, lc: (t, 0, 0, 0, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, chunk, D, g.s, _LANES),
+            lambda t, lc: (t, NC - 1 - lc, 0, 0, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (g.T, g.LP, D, g.s, _LANES), g.dtype
+        ),
+        scratch_shapes=[pltpu.VMEM((D, g.s, _LANES), g.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        interpret=interp,
+    )(stream, seed_slab)
+    return [out[:, :, e] for e in range(D)]
+
+
 # ============================================================ pipeline
 
 
@@ -605,24 +856,29 @@ def _backward(g: Geom, c, R0, RES, ok, bll):
     bY = jnp.where(row0, bZt + shift_fwd(g, dbR), bz_eff)
     bW_tot = [shift_fwd(g, dbB[j]) for j in range(J)]
 
-    # ---------------- factor adjoint (frev dense, entry-planes) ------
+    # ---------------- factor adjoint --------------------------------
     bv0 = [bW_tot[j] * dinv for j in range(J)]
     bdp = bd - sum(W[j] * bv0[j] for j in range(J))
     stream3 = jnp.stack(p_s + u_s + W + bv0 + [bdp], axis=2)
-    spec3 = mat_affine_spec(J * J, 1, dtype)
-    leaves3 = _scan_pass(
-        g, stream3,
-        functools.partial(_build_factor_rev, J=J, s=g.s),
-        spec3, reverse=True,
-    )
-    Mst = [leaves3[J ** 4 + e] for e in range(J * J)]  # (j, k) row-major
-
-    # row n >= 1 uses the state ENTERING step n; row 0 uses the state
-    # after ALL steps (which is exactly Mst's row-0 value)
-    MX = [
-        jnp.where(row0, Mst[e], shift_fwd(g, Mst[e]))
-        for e in range(J * J)
-    ]
+    if J <= 2:
+        # dense J^2-affine elements built in-kernel (20 planes at J=2)
+        spec3 = mat_affine_spec(J * J, 1, dtype)
+        leaves3 = _scan_pass(
+            g, stream3,
+            functools.partial(_build_factor_rev, J=J, s=g.s),
+            spec3, reverse=True,
+        )
+        Mst = [leaves3[J ** 4 + e] for e in range(J * J)]
+        # row n >= 1 uses the state ENTERING step n; row 0 uses the
+        # state after ALL steps (exactly Mst's row-0 value)
+        MX = [
+            jnp.where(row0, Mst[e], shift_fwd(g, Mst[e]))
+            for e in range(J * J)
+        ]
+    else:
+        # structured A/B/C scheme: phase C emits M_in directly (at the
+        # identity n = 0 element, M_in == state after all real steps)
+        MX = _factor_adjoint_structured(g, stream3, J)
     bv = [
         bv0[j]
         + sum((MX[j * J + k] + MX[k * J + j]) * W[k] for k in range(J))
@@ -726,7 +982,7 @@ loglik_slab.defvjp(_loglik_slab_fwd, _loglik_slab_bwd)
 def slab_wanted(t, U, y) -> bool:
     """Routing decision for the fused pipeline (see Config.fused_slab).
 
-    'auto': TPU, an assoc-tier-sized system, unbatched trace, J <= 2,
+    'auto': TPU, an assoc-tier-sized system, unbatched trace, J <= 4,
     1-D RHS.  'on' forces (interpret mode off-TPU); 'off' disables.
     """
     from celerite2_tpu.config import get_config
@@ -736,7 +992,7 @@ def slab_wanted(t, U, y) -> bool:
     mode = getattr(get_config(), "fused_slab", "off")
     if mode == "off":
         return False
-    if y.ndim != 1 or U.shape[1] > 2 or t.shape[0] < 64:
+    if y.ndim != 1 or U.shape[1] > 4 or t.shape[0] < 64:
         return False
     if any(_vmapped(x) for x in (t, U, y)):
         return False

@@ -66,6 +66,7 @@ def test_sweep_rev_assoc_matches_scan(sys50, is_solve, upper):
         )
 
 
+@pytest.mark.slow
 def test_two_level_prefix_matches_associative_scan():
     """The sqrt(N)-blocked engine must agree with lax.associative_scan
     for a non-commutative monoid, both directions, padded sizes."""
@@ -162,6 +163,7 @@ def test_factor_rev_assoc_wide_J(J_width):
         np.testing.assert_allclose(o, r, rtol=1e-8, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_frev_suffix_states_block_invariance():
     """The structured engine result must not depend on the block size."""
     from celerite2_tpu.ops.assoc import _frev_suffix_states

@@ -32,8 +32,16 @@ def _system(N, J=2, seed=0, nonpd=False):
     t = jnp.asarray(np.sort(rng.uniform(0, 10, N)))
     if J == 1:
         kernel = terms.RealTerm(a=1.1, c=0.7)
-    else:
+    elif J == 2:
         kernel = terms.SHOTerm(sigma=1.3, rho=3.4, tau=2.9)
+    elif J == 3:
+        kernel = terms.RealTerm(a=1.1, c=0.7) + terms.SHOTerm(
+            sigma=1.3, rho=3.4, tau=2.9
+        )
+    else:
+        kernel = terms.SHOTerm(sigma=1.3, rho=3.4, tau=2.9) + terms.SHOTerm(
+            sigma=0.7, rho=1.1, tau=5.0
+        )
     diag = jnp.full(N, -2.0 if nonpd else 0.04)
     c, a, U, V = kernel.get_celerite_matrices(t, diag)
     y = jnp.asarray(np.sin(np.asarray(t)) + 0.2 * rng.normal(size=N))
@@ -56,9 +64,27 @@ def _ll_ref(t, c, a, U, V, y):
 
 # N = 65: NB > 1 with a ragged last block; N = 130: lane padding;
 # N = 1040: multiple of L with TOT > GB and LP > L
-@pytest.mark.parametrize("N", [65, 130, 1040])
-@pytest.mark.parametrize("J", [1, 2])
+@pytest.mark.parametrize(
+    "N",
+    [pytest.param(65, marks=pytest.mark.slow), 130,
+     pytest.param(1040, marks=pytest.mark.slow)],
+)
+@pytest.mark.parametrize(
+    "J", [pytest.param(1, marks=pytest.mark.slow), 2]
+)
 def test_value_and_grad_parity(slab_env, N, J):
+    _check_parity(N, J)
+
+
+# J = 3 (odd: bordered plane inverses) and J = 4 exercise the
+# structured A/B/C factor adjoint instead of the dense-in-kernel one
+@pytest.mark.slow
+@pytest.mark.parametrize("J", [3, 4])
+def test_value_and_grad_parity_wide(slab_env, J):
+    _check_parity(130, J)
+
+
+def _check_parity(N, J):
     args = _system(N, J=J)
     v0 = loglik_slab(*args)
     v1 = _ll_ref(*args)
@@ -121,7 +147,7 @@ def test_routing_guards(slab_env):
     set_config(fused_slab="auto")
     t = jnp.linspace(0, 1, 100)
     y = jnp.zeros(100)
-    assert not slab_wanted(t, jnp.zeros((100, 4)), y)  # J > 2
+    assert not slab_wanted(t, jnp.zeros((100, 5)), y)  # J > 4
     assert not slab_wanted(t, jnp.zeros((100, 2)), jnp.zeros((100, 2)))
     assert not slab_wanted(t[:32], jnp.zeros((32, 2)), y[:32])  # tiny
 

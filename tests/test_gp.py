@@ -200,6 +200,7 @@ def test_conditional_sample_shape(data, kernel):
     assert s.shape == (7, 20)
 
 
+@pytest.mark.slow
 def test_predict_mean_is_differentiable():
     """The conditional mean at new points flows gradients (through the
     general_matmul cumulative scans — the reference's general matmuls
@@ -225,6 +226,7 @@ def test_predict_mean_is_differentiable():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pathwise_conditional_exact_moments(data, kernel):
     """sample_pathwise is affine in its noise draws; its implied first
     and second moments must EXACTLY match the dense conditional
@@ -252,6 +254,7 @@ def test_pathwise_conditional_exact_moments(data, kernel):
     )
 
 
+@pytest.mark.slow
 def test_pathwise_conditional_shapes_and_dup_times(data, kernel):
     t, yerr, y = data
     gp = GaussianProcess(kernel, t=t, yerr=yerr)
@@ -266,6 +269,7 @@ def test_pathwise_conditional_shapes_and_dup_times(data, kernel):
     assert np.all(np.isfinite(np.asarray(s)))
 
 
+@pytest.mark.slow
 def test_pathwise_component_conditional_exact_moments(data, kernel):
     """kernel= component pathwise draws have EXACTLY the dense
     component conditional's law (reference core.py:74-113 semantics):

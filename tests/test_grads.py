@@ -18,7 +18,14 @@ from celerite2_tpu.config import set_config
 from celerite2_tpu.testing import get_matrices
 
 
-@pytest.fixture(autouse=True, params=["scan", "assoc"])
+@pytest.fixture(
+    autouse=True,
+    # the assoc arm re-derives every gradient through the two-level
+    # engine's much larger graphs (~3x the compile time of the scan
+    # arm); the fast tier keeps the scan-arm oracle checks and the
+    # planes/fused-slab suites cover the engine paths
+    params=["scan", pytest.param("assoc", marks=pytest.mark.slow)],
+)
 def _backend(request):
     set_config(backend=request.param)
     yield

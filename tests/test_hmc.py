@@ -51,6 +51,7 @@ def test_hmc_gaussian(gaussian_target):
     assert float(res.trajectory_length) > float(res.step_size)
 
 
+@pytest.mark.slow
 def test_hmc_gp_hyperparameters():
     """Config-1-style recovery through the GP likelihood."""
     rng = np.random.default_rng(1234)

@@ -57,6 +57,7 @@ def test_nuts_gaussian(gaussian_target):
     assert float(jnp.mean(res.diverging)) < 0.01
 
 
+@pytest.mark.slow
 def test_nuts_dense_mass():
     """Dense metric: a strongly correlated target sampled with
     dense_mass=True recovers moments AND the adapted inv_mass
@@ -184,6 +185,7 @@ def test_smc_gaussian(gaussian_target):
     assert float(res.mutation_eps) > 0
 
 
+@pytest.mark.slow
 def test_nuts_gp_hyperparameters():
     """Config-1 scenario: recover SHOTerm hyperparameters (SURVEY 7.3)."""
     rng = np.random.default_rng(1234)

@@ -35,6 +35,7 @@ def _loglik_parts(factor_fn, solve_fn, t, c, a, U, V, y):
     return d, z[:, 0]
 
 
+@pytest.mark.slow
 def test_two_level_f32_large_N_vs_f64(force_two_level):
     """f32 two-level engine at N=1e5 against f64 associative_scan truth:
     the blocked composition must not lose more than ~4 digits on the

@@ -104,6 +104,7 @@ def test_sweep_rev_packed(is_solve, upper):
         )
 
 
+@pytest.mark.slow
 def test_packed_grad_and_vmap_dispatch():
     """End-to-end loglik grad through the packed dispatch + the
     custom_vmap scan fallback."""

@@ -50,7 +50,9 @@ def _system(N, J=2, seed=0):
 
 
 # leaf-only (N < 48), one kernel level, and two kernel levels
-@pytest.mark.parametrize("N", [17, 130])
+@pytest.mark.parametrize(
+    "N", [17, pytest.param(130, marks=pytest.mark.slow)]
+)
 def test_factor_solve_parity(planes_on, N):
     t, c, a, U, V, Y = _system(N)
     set_config(planes="off")
@@ -65,6 +67,7 @@ def test_factor_solve_parity(planes_on, N):
         )
 
 
+@pytest.mark.slow
 def test_factor_solve_fused_parity(planes_on):
     t, c, a, U, V, Y = _system(120)
     set_config(planes="off")
@@ -77,6 +80,7 @@ def test_factor_solve_fused_parity(planes_on):
         )
 
 
+@pytest.mark.slow
 def test_solve_upper_matmul_parity(planes_on):
     t, c, a, U, V, Y = _system(97)
     set_config(planes="off")
@@ -96,6 +100,7 @@ def test_solve_upper_matmul_parity(planes_on):
             )
 
 
+@pytest.mark.slow
 def test_loglik_grad_parity(planes_on):
     """End-to-end: value_and_grad of the GP loglik through the planes
     engine (exercises factor_rev dense + sweep_rev paths)."""
@@ -127,6 +132,7 @@ def test_loglik_grad_parity(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_wide_j_riccati_parity(planes_on):
     """J=4 exercises the Schur-recursion p_inv base."""
     t, c, a, U, V, Y = _system(90, J=4)
@@ -189,6 +195,7 @@ def test_auto_routing_rule(monkeypatch):
         set_config(**prior.__dict__)
 
 
+@pytest.mark.slow
 def test_chunked_padding_parity(planes_on, monkeypatch):
     """Chunked level-0 semantics (chunk > 1, incl. the identity-row
     padding when chunk does not divide L): interpret mode normally pins
@@ -213,6 +220,7 @@ def test_chunked_padding_parity(planes_on, monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_planes_vs_scan_oracle(planes_on):
     """Planes-engine factorization against the sequential oracle."""
     t, c, a, U, V, Y = _system(75)
@@ -227,6 +235,7 @@ def test_planes_vs_scan_oracle(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_vmapped_factor_parity(planes_on):
     """vmap folds the chain axis into the kernel's block/lane axis
     (custom_vmap rule); parity vs the vmapped generic engine."""
@@ -257,6 +266,7 @@ def test_vmapped_factor_parity(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_vmapped_loglik_grad_parity(planes_on):
     """Fleet path end-to-end: vmap(value_and_grad(loglik)) through the
     planes engine matches the generic engine chain-for-chain."""
@@ -289,6 +299,7 @@ def test_vmapped_loglik_grad_parity(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_sharded_ops_planes_parity(planes_on):
     """The sharded three-phase ops route their per-shard prefixes
     through the planes engine (full-distribute specs): value + grad
@@ -318,6 +329,7 @@ def test_sharded_ops_planes_parity(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_sharded_solve_predict_planes_parity(planes_on):
     """Sharded solve/predict paths (matrix-affine + diag-affine
     transported-cumulative sites) under the planes routing."""
@@ -384,6 +396,7 @@ def test_sharded_solve_predict_planes_parity(planes_on):
     )
 
 
+@pytest.mark.slow
 def test_doubly_vmapped_factor_parity(planes_on):
     """Two nested vmap levels: the custom_vmap rule folds the first;
     the second falls back to pallas auto-batching (interpret mode on

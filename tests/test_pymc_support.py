@@ -159,6 +159,7 @@ def test_marginal_core_logp_and_prior_draw_law(problem):
     assert np.all(np.isfinite(d2))
 
 
+@pytest.mark.slow
 def test_conditional_moments_core_matches_condition(problem):
     from celerite2_tpu import GaussianProcess
     from celerite2_tpu.pymc_support import (

@@ -18,6 +18,10 @@ from celerite2_tpu.parallel import (
     make_sharded_logdensity,
 )
 
+# the multichip gate suite: run explicitly per commit (verify skill);
+# excluded from the fast tier by wall clock (~9 min of shard_map compiles)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh8():

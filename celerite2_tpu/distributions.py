@@ -59,18 +59,45 @@ class _CeleriteNormalCore:
         return samp.reshape(tuple(sample_shape) + tuple(self.event_shape))
 
     def log_prob(self, value):
+        # the real numpyro base stores `_validate_args`; the stub keeps
+        # the constructor kwarg name — accept either spelling
+        if getattr(self, "validate_args", None) or getattr(
+            self, "_validate_args", None
+        ):
+            ev = tuple(self.event_shape)
+            if tuple(jnp.shape(value))[-len(ev) :] != ev:
+                raise ValueError(
+                    f"log_prob value trailing shape "
+                    f"{tuple(jnp.shape(value))} does not match "
+                    f"event_shape {ev}"
+                )
         return gp_log_likelihood(self.gp.state, value)
 
 
 class _StubBase:
     """Stand-in replicating numpyro ``Distribution``'s construction
     contract (jax/distribution.py inherits it), used when numpyro is
-    absent so the adapter core stays fully testable."""
+    absent so the adapter core stays fully testable.
+
+    Mirrors the pieces of the real base that adapter subclasses lean
+    on: ``batch_shape``/``event_shape`` storage, ``event_dim``,
+    ``shape(sample_shape)``, and event-shape validation of ``log_prob``
+    inputs under ``validate_args`` — the contract surface a stub most
+    easily gets silently wrong."""
+
+    support = None
 
     def __init__(self, batch_shape=(), event_shape=(), validate_args=None):
         self.batch_shape = tuple(batch_shape)
         self.event_shape = tuple(event_shape)
         self.validate_args = validate_args
+
+    @property
+    def event_dim(self):
+        return len(self.event_shape)
+
+    def shape(self, sample_shape=()):
+        return tuple(sample_shape) + self.batch_shape + self.event_shape
 
 
 try:  # pragma: no cover - numpyro is optional and absent in this image
